@@ -1,0 +1,113 @@
+"""Cubic-spline machinery.
+
+Two flavours are provided:
+
+1. ``spline_matrix(xin, xout)`` — a constant matrix ``M`` with
+   ``M @ f == scipy CubicSpline(xin, f)(xout)`` (not-a-knot, with end-segment
+   polynomial extrapolation).  Cubic-spline interpolation is *linear* in the
+   data values, so whenever the evaluation points are fixed (window p-grid,
+   binning quadrature points, FFTLog grid) the whole interpolation collapses
+   into one constant matmul in the jitted graph.  This replaces the per-eval
+   ``scipy.interpolate.interp1d(..., kind="cubic")`` calls of the reference
+   (e.g. /root/reference/eftpipe/window.py:376, binning.py:135,
+   pybird/fftlog.py:114).
+
+2. ``SplineTable`` / ``spline_eval`` — a jit/vmap-friendly natural-boundary
+   evaluation of a not-a-knot cubic spline at *traced* query points (needed by
+   the AP effect where the distorted k' grid depends on sampled parameters,
+   cf. /root/reference/eftpipe/pybird/pybird.py:1586-1593).  The second
+   derivatives at the nodes are again linear in the data: ``m = M2 @ f`` with
+   ``M2`` a constant matrix built on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from dataclasses import dataclass
+from scipy.interpolate import CubicSpline
+
+
+def spline_matrix(xin, xout, log_x: bool = False) -> np.ndarray:
+    """Constant matrix form of a not-a-knot cubic spline.
+
+    Parameters
+    ----------
+    xin : (n,) strictly increasing sample locations
+    xout : (m,) evaluation locations (may lie outside [xin[0], xin[-1]];
+        end-segment polynomial extrapolation is used, matching
+        ``fill_value="extrapolate"``)
+    log_x : interpolate in log(x) instead of x
+
+    Returns
+    -------
+    (m, n) float64 matrix
+    """
+    xin = np.asarray(xin, dtype=np.float64)
+    xout = np.asarray(xout, dtype=np.float64)
+    if log_x:
+        xin, xout = np.log(xin), np.log(xout)
+    n = xin.size
+    eye = np.eye(n)
+    cs = CubicSpline(xin, eye, axis=0, extrapolate=True)
+    return cs(xout)  # (m, n)
+
+
+def _notaknot_second_derivative_matrix(x: np.ndarray) -> np.ndarray:
+    """Matrix M2 with ``m = M2 @ y`` = second derivatives of the not-a-knot
+    cubic spline through (x, y) at the nodes."""
+    n = x.size
+    eye = np.eye(n)
+    cs = CubicSpline(x, eye, axis=0)
+    # second derivative at the nodes: evaluate cs'' at x
+    return cs(x, 2)
+
+
+@dataclass(frozen=True)
+class SplineTable:
+    """Host-precomputed constants for in-jit cubic-spline evaluation."""
+
+    x: np.ndarray  # (n,) node locations
+    m2: np.ndarray  # (n, n) second-derivative operator
+    h: np.ndarray  # (n-1,) segment widths
+
+    @classmethod
+    def build(cls, x) -> "SplineTable":
+        x = np.asarray(x, dtype=np.float64)
+        return cls(x=x, m2=_notaknot_second_derivative_matrix(x), h=np.diff(x))
+
+
+def spline_eval(table: SplineTable, y, xq):
+    """Evaluate the not-a-knot cubic spline through (table.x, y) at traced xq.
+
+    Parameters
+    ----------
+    y : (..., n) data values (traced)
+    xq : (...q) query points (traced); outside the domain the end-segment
+        cubic is extrapolated (scipy ``extrapolate=True`` behaviour)
+
+    Returns
+    -------
+    (..., *xq.shape) values; leading axes of y broadcast over xq
+    """
+    x = jnp.asarray(table.x, dtype=y.dtype)
+    h = jnp.asarray(table.h, dtype=y.dtype)
+    m2 = jnp.asarray(table.m2, dtype=y.dtype)
+    m = y @ m2.T  # (..., n) second derivatives
+
+    n = x.shape[0]
+    idx = jnp.clip(jnp.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    x0 = x[idx]
+    hi = h[idx]
+    t = (xq - x0) / hi
+
+    def seg(arr, i):
+        return jnp.take(arr, i, axis=-1)
+
+    y0, y1 = seg(y, idx), seg(y, idx + 1)
+    m0, m1 = seg(m, idx), seg(m, idx + 1)
+    h2 = hi * hi
+    # Hermite form in terms of second derivatives (natural cubic segments):
+    # S(t) = y0 (1-t) + y1 t + h^2/6 [ m0 ((1-t)^3-(1-t)) + m1 (t^3-t) ]
+    u = 1.0 - t
+    return y0 * u + y1 * t + h2 / 6.0 * (m0 * (u * u * u - u) + m1 * (t * t * t - t))

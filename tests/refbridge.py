@@ -1,0 +1,88 @@
+"""Import the reference eftpipe implementation as a test oracle.
+
+The reference at /root/reference is pure Python (NumPy/SciPy) but imports
+Cobaya for logging/MPI plumbing, which is not installed here.  We stub the
+tiny surface it actually touches and expose the reference modules under the
+``ref_eftpipe`` package name.  Tests that need the oracle call
+``load_reference()`` and are skipped when the reference tree is absent.
+
+Nothing from the reference is ever imported by the framework itself — this
+module lives in tests/ only.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def _install_cobaya_stub() -> None:
+    if "cobaya" in sys.modules:
+        return
+
+    cobaya = types.ModuleType("cobaya")
+    log = types.ModuleType("cobaya.log")
+    mpi = types.ModuleType("cobaya.mpi")
+
+    class HasLogger:
+        def set_logger(self, lowercase=True, name=None):
+            import logging
+
+            self.log = logging.getLogger(name or type(self).__name__)
+
+        def _noop(self, *args, **kwargs):
+            pass
+
+        mpi_info = mpi_warning = mpi_debug = mpi_error = _noop
+
+    class LoggedError(Exception):
+        def __init__(self, logger, msg="", *args):
+            super().__init__(msg % args if args else msg)
+
+    def logger_setup(*args, **kwargs):
+        pass
+
+    def is_main_process():
+        return True
+
+    def root_only(fn):
+        return fn
+
+    log.HasLogger = HasLogger
+    log.LoggedError = LoggedError
+    log.logger_setup = logger_setup
+    mpi.is_main_process = is_main_process
+    mpi.root_only = root_only
+    cobaya.log = log
+    cobaya.mpi = mpi
+    sys.modules["cobaya"] = cobaya
+    sys.modules["cobaya.log"] = log
+    sys.modules["cobaya.mpi"] = mpi
+
+
+def _install_ref_package() -> None:
+    if "ref_eftpipe" in sys.modules:
+        return
+    pkg = types.ModuleType("ref_eftpipe")
+    pkg.__path__ = [str(REFERENCE_ROOT / "eftpipe")]
+    pkg.__package__ = "ref_eftpipe"
+    sys.modules["ref_eftpipe"] = pkg
+
+
+def reference_available() -> bool:
+    return (REFERENCE_ROOT / "eftpipe" / "pybird" / "pybird.py").exists()
+
+
+def load_reference(module: str):
+    """Import e.g. ``load_reference("pybird.pybird")`` from the reference tree."""
+    import importlib
+    import pytest
+
+    if not reference_available():
+        pytest.skip("reference implementation not available")
+    _install_cobaya_stub()
+    _install_ref_package()
+    return importlib.import_module(f"ref_eftpipe.{module}")
