@@ -1,0 +1,182 @@
+"""One-loop engine: FFTLog of P_lin → P22/P13 and CF-side transforms.
+
+Phase A (`build_nonlinear_tables`) assembles, on the host in complex128, the
+constant tensors of the FFT-PT formalism — the analogue of the reference's
+``NonLinear`` precomputation (/root/reference/eftpipe/pybird/pybird.py:870-1064)
+— fusing wherever a contraction is linear in the FFTLog coefficients:
+
+* ``a13[n, b, k]`` = k³ · k^{ν_n} · M13_{b,n}   →  P13 = P11 · Re[c @ a13]
+* ``a11 / act / act_nnlo[n, l, s]`` = s-powers · MPC moments (incl. the s⁻²
+  and s⁻⁴ counterterm factors)                  →  one real matvec each
+* ``kpow22[n, k]`` = k^{ν_n + 3/2} (the k³ prefactor split across the two
+  coefficient factors), ``m22[b, n, m]``        →  P22 quadratic contraction
+* ``mcf22/mcf13[b, l, n, m]`` = Bessel-moment matrices ``Ml`` times the loop
+  matrices (pybird.py:1040-1046)                →  CF quadratic contractions
+
+Phase B (`nonlinear_pscf`) is pure jnp on (re, im) pairs: one FFTLog (two real
+matmuls) plus the contractions above — batched over arbitrary leading axes of
+the input P_lin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.fftlog import HostFFTLog, make_plan, fftlog_coef
+from ..ops import cplx
+from ..tables.loop_matrices import m13_matrices, m22_matrices, mpc
+from .config import EFTConfig
+
+
+def _loop_fft(cfg: EFTConfig) -> HostFFTLog:
+    # reference fftsettings: pybird.py:919
+    return HostFFTLog(n=cfg.nfft_loop, xmin=1.5e-5, xmax=1000.0, bias=-1.6)
+
+
+def build_nonlinear_tables(cfg: EFTConfig) -> dict:
+    """Host-side constant tensors for the loop engine (complex128/float64)."""
+    fft = _loop_fft(cfg)
+    kin = cfg.kin
+    # FFTLog plans; IR-cutoff modes truncate the input grid below k_ir and
+    # switch the low end to zero-padding (pybird.py:1127-1160)
+    plan_full = make_plan(fft, kin, extrap="extrap", window=0.2)
+    if cfg.ir_cutoff:
+        idx = int(np.searchsorted(kin, cfg.k_ir))
+        plan_cut = make_plan(fft, kin[idx:], extrap=("padding", "extrap"), window=0.2)
+        kin_cut_index = idx
+    else:
+        plan_cut = None
+        kin_cut_index = 0
+    if cfg.ir_cutoff == "all":
+        plan_pk = plan_cf = plan_cut
+    elif cfg.ir_cutoff == "loop":
+        plan_pk, plan_cf = plan_cut, plan_full
+    elif cfg.ir_cutoff == "resum":
+        plan_pk, plan_cf = plan_full, plan_cut
+    else:
+        plan_pk = plan_cf = plan_full
+
+    pw = fft.pow  # (n+1,) complex exponents
+    ns = -0.5 * pw
+    k = cfg.k
+    s = cfg.s
+    ells = 2 * np.arange(cfg.nl)
+
+    m13 = m13_matrices(pw)  # (10, n+1)
+    m22 = m22_matrices(pw)  # (28, n+1, n+1)
+
+    kpow = k[None, :] ** pw[:, None]  # (n+1, nk)
+    kpow22 = k[None, :] ** (pw[:, None] + 1.5)  # k³ split across both factors
+    a13 = np.einsum("nk,bn->nbk", kpow * k[None, :] ** 3, m13)
+
+    spow = s[None, :] ** (-pw[:, None] - 3.0)  # (n+1, ns)
+    mcf11 = mpc(ells[:, None], ns[None, :])  # (nl, n+1)
+    mcfct = mpc(ells[:, None], ns[None, :] - 1.0)
+    mcfct_nnlo = mpc(ells[:, None], ns[None, :] - 2.0)
+    a11 = np.einsum("ns,ln->nls", spow, mcf11)
+    act = np.einsum("ns,ln->nls", spow * s[None, :] ** -2.0, mcfct)
+    act_nnlo = np.einsum("ns,ln->nls", spow * s[None, :] ** -4.0, mcfct_nnlo)
+
+    # Bessel moments for the loop CF: Ml[l, n, m] = MPC(2l, ns_n + ns_m - 3/2)
+    ml = mpc(ells[:, None, None], ns[None, :, None] + ns[None, None, :] - 1.5)
+    mcf22 = np.einsum("lnm,bnm->blnm", ml, m22)
+    mcf13 = np.einsum("lnm,bn->blnm", ml, m13)
+
+    def c(x):
+        return cplx.split(x)
+
+    return dict(
+        plan_pk=plan_pk,
+        plan_cf=plan_cf,
+        kin_cut_index=kin_cut_index,
+        kpow22=c(kpow22),
+        a13=c(a13),
+        a11=c(a11),
+        act=c(act),
+        act_nnlo=c(act_nnlo),
+        m22=c(m22),
+        mcf22=c(mcf22),
+        mcf13=c(mcf13),
+        spow=c(spow),
+        k=k,
+        s=s,
+    )
+
+
+def _as_pair(t, dtype):
+    return jnp.asarray(t[0], dtype), jnp.asarray(t[1], dtype)
+
+
+def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
+    """Loop power spectra and correlation functions.
+
+    Parameters
+    ----------
+    nt : tables from :func:`build_nonlinear_tables`
+    plin_kin : (..., nkin) linear power spectrum on cfg.kin (traced)
+
+    Returns
+    -------
+    dict with
+      p22 : (..., 28, nk), p13 : (..., 10, nk), p11 : (..., nk)
+      c11 : (..., nl, ns), cct : (..., nl, ns), cct_nnlo : (..., nl, ns)
+      c22 : (..., nl, 28, ns), c13 : (..., nl, 10, ns)
+
+    Mirrors ``NonLinear.PsCf`` + the make* contractions
+    (pybird.py:1074-1171); reference FFTLog window = 0.2.
+    """
+    dtype = plin_kin.dtype
+    icut = nt["kin_cut_index"]
+    f_cut = plin_kin[..., icut:] if icut else plin_kin
+    coef_pk = fftlog_coef(nt["plan_pk"], f_cut if cfg.ir_cutoff in ("all", "loop") else plin_kin)
+    if nt["plan_cf"] is nt["plan_pk"]:
+        coef_cf = coef_pk
+    else:
+        coef_cf = fftlog_coef(nt["plan_cf"], f_cut if cfg.ir_cutoff == "resum" else plin_kin)
+
+    kpow22 = _as_pair(nt["kpow22"], dtype)
+    a13 = _as_pair(nt["a13"], dtype)
+    a11 = _as_pair(nt["a11"], dtype)
+    act = _as_pair(nt["act"], dtype)
+    act_nnlo = _as_pair(nt["act_nnlo"], dtype)
+    m22 = _as_pair(nt["m22"], dtype)
+    mcf22 = _as_pair(nt["mcf22"], dtype)
+    mcf13 = _as_pair(nt["mcf13"], dtype)
+    spow_pair = _as_pair(nt["spow"], dtype)
+
+    # ---- P-side -----------------------------------------------------------
+    # T[..., n, k] = c_n · k^{ν_n + 3/2}
+    t_pk = cplx.cmul((coef_pk[0][..., None], coef_pk[1][..., None]), kpow22)
+    # U[..., b, m, k] = Σ_n T_nk M22_bnm ; P22 = Re Σ_m T_mk U_bmk
+    u = cplx.ceinsum("...nk,bnm->...bmk", t_pk, m22)
+    p22 = jnp.einsum("...mk,...bmk->...bk", t_pk[0], u[0]) - jnp.einsum(
+        "...mk,...bmk->...bk", t_pk[1], u[1]
+    )
+    p13_kernel = cplx.ceinsum_real("...n,nbk->...bk", coef_pk, a13)
+
+    # ---- CF-side ----------------------------------------------------------
+    c11 = cplx.ceinsum_real("...n,nls->...ls", coef_cf, a11)
+    cct = cplx.ceinsum_real("...n,nls->...ls", coef_cf, act)
+    cct_nnlo = cplx.ceinsum_real("...n,nls->...ls", coef_cf, act_nnlo)
+    # Z[..., n, s] = c_n s^{-ν_n - 3} (each factor carries the full s-power,
+    # matching the reference contraction pybird.py:1103-1125)
+    z = cplx.cmul((coef_cf[0][..., None], coef_cf[1][..., None]), spow_pair)
+    v22 = cplx.ceinsum("...ms,blnm->...blns", z, mcf22)
+    c22 = jnp.einsum("...ns,...blns->...lbs", z[0], v22[0]) - jnp.einsum(
+        "...ns,...blns->...lbs", z[1], v22[1]
+    )
+    v13 = cplx.ceinsum("...ms,blnm->...blns", z, mcf13)
+    c13 = jnp.einsum("...ns,...blns->...lbs", z[0], v13[0]) - jnp.einsum(
+        "...ns,...blns->...lbs", z[1], v13[1]
+    )
+
+    return dict(
+        p22=p22,
+        p13_kernel=p13_kernel,
+        c11=c11,
+        cct=cct,
+        cct_nnlo=cct_nnlo,
+        c22=c22,
+        c13=c13,
+    )
