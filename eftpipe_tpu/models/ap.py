@@ -1,0 +1,135 @@
+"""Alcock–Paczyński projection.
+
+Functional replacement for the reference ``APeffect``
+(/root/reference/eftpipe/pybird/pybird.py:1467-1628).  The multipoles are
+rebuilt into P(k, µ) on a distorted grid (k', µ'), then re-projected onto
+Legendre multipoles by a trapezoid over the fixed µ grid.  The distorted grid
+depends on the sampled (q⊥, q∥), so the cubic interpolation runs in-jit via
+the constant second-derivative spline operator (ops/interp.py); the Legendre
+re-projection against the *fixed* µ grid is folded into one constant weight
+matrix.  The function is written for a single evaluation; batching over
+walkers is done with ``jax.vmap`` at the pipeline level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.interp import SplineTable, spline_eval
+from ..ops.legendre import legendre_even
+from .config import EFTConfig
+from .bird import BirdState
+
+
+def lcdm_hubble(om: float, z: float) -> float:
+    """Dimensionless H(z)/H0 for flat LCDM (pybird.py:34-36)."""
+    return float(np.sqrt(om * (1 + z) ** 3 + (1 - om)))
+
+
+def lcdm_da(om: float, z: float) -> float:
+    """Dimensionless angular-diameter distance H0·DA (pybird.py:39-42)."""
+    from scipy.integrate import quad
+
+    r = quad(lambda x: 1.0 / lcdm_hubble(om, x), 0, z)[0]
+    return float(r / (1 + z))
+
+
+def build_ap_tables(
+    cfg: EFTConfig,
+    z_ap: float | None = None,
+    om_ap: float | None = None,
+    da_fid: float | None = None,
+    h_fid: float | None = None,
+    rdrag_ap: float | None = None,
+    hubble_ap: float | None = None,
+    nbinsmu: int = 200,
+    accboost: int = 1,
+    nlmax: int | None = None,
+    ap_st: bool = False,
+) -> dict:
+    """Fiducial background + fixed-µ-grid constants.
+
+    Either (da_fid, h_fid) directly or (om_ap, z_ap) to compute them from flat
+    LCDM (pybird.py:1522-1530).  ``rdrag_ap``/``hubble_ap`` feed the derived
+    α⊥/α∥ (pybird.py:1564-1579).
+    """
+    if da_fid is None or h_fid is None:
+        if om_ap is None or z_ap is None:
+            raise ValueError("need (da_fid, h_fid) or (om_ap, z_ap)")
+        da_fid = lcdm_da(om_ap, z_ap)
+        h_fid = lcdm_hubble(om_ap, z_ap)
+    nmu = nbinsmu * accboost
+    mu = np.linspace(0.0, 1.0, nmu)
+    nlmax = nlmax or cfg.nl
+    # (2l+1)/2 L_2i(µ) on the fixed grid, times 2·trapz weights — one matrix
+    wmu = np.full(nmu, mu[1] - mu[0])
+    wmu[0] *= 0.5
+    wmu[-1] *= 0.5
+    legw = np.stack(
+        [(4.0 * i + 1.0) / 2.0 * legendre_even(i, mu) for i in range(nlmax)]
+    )  # (nlmax, nmu)
+    proj = 2.0 * legw * wmu[None, :]
+    return dict(
+        da_fid=float(da_fid),
+        h_fid=float(h_fid),
+        rdrag_ap=rdrag_ap,
+        h_ap=hubble_ap,
+        mu=mu,
+        proj=proj,
+        nlmax=nlmax,
+        ap_st=ap_st,
+        spline=SplineTable.build(cfg.k),
+        k=cfg.k,
+    )
+
+
+def ap_params(at: dict, da, h):
+    """(q⊥, q∥) from the sampled background (pybird.py:1554-1562)."""
+    return da / at["da_fid"], at["h_fid"] / h
+
+
+def alperp_alpara(at: dict, da, h, rdrag, hubble):
+    """Derived (α⊥, α∥) including the rdrag·h rescaling (pybird.py:1564-1579)."""
+    qperp, qpar = ap_params(at, da, h)
+    if at["rdrag_ap"] is None or at["h_ap"] is None:
+        return qperp, qpar
+    ratio = (at["rdrag_ap"] * at["h_ap"]) / (rdrag * hubble)
+    return qperp * ratio, qpar * ratio
+
+
+def _project(at: dict, plk, kp, leg_mup, dtype):
+    """Interpolate multipoles to (k', µ), rebuild P(k,µ), re-project (pybird.py:1581-1596)."""
+    nk, nmu = kp.shape
+    pk = spline_eval(at["spline"], plk, kp.reshape(-1)).reshape(plk.shape[:-1] + (nk, nmu))
+    pkmu = jnp.einsum("lpkm,lm->pkm", pk, leg_mup)
+    return jnp.einsum("pkm,lm->lpk", pkmu, jnp.asarray(at["proj"], dtype))
+
+
+def ap_transform(at: dict, cfg: EFTConfig, bird: BirdState, qperp, qpar) -> BirdState:
+    """Apply the AP distortion to all multipole tensors (pybird.py:1598-1621).
+
+    ``qperp``/``qpar`` are traced scalars (single evaluation; vmap for batch).
+    """
+    dtype = bird.p11l.dtype
+    mu = jnp.asarray(at["mu"], dtype)
+    k = jnp.asarray(at["k"], dtype)
+    finv2 = (qperp / qpar) ** 2
+    warp = jnp.sqrt(1.0 + mu * mu * (finv2 - 1.0))  # (nmu,)
+    kp = k[:, None] / qperp * warp[None, :]          # (nk, nmu)
+    mup = mu / (qpar / qperp) / warp                  # (nmu,)
+    leg_mup = jnp.stack([legendre_even(i, mup) for i in range(at["nlmax"])])
+    coef = 1.0 / (qperp * qperp * qpar)
+
+    def tr(x):
+        return coef * _project(at, x, kp, leg_mup, dtype)
+
+    out = bird._replace(
+        p11l=tr(bird.p11l),
+        pctl=tr(bird.pctl),
+        ploopl=tr(bird.ploopl),
+        pct_nnlo_l=tr(bird.pct_nnlo_l) if cfg.with_nnlo else bird.pct_nnlo_l,
+    )
+    if at["ap_st"]:
+        out = out._replace(pstl=tr(bird.pstl))
+    return out
