@@ -1,0 +1,126 @@
+"""Per-tracer theory pipeline: compose the stages into one jittable chain.
+
+The analogue of the reference's ``EFTLeafKernel.calculate_power_spectrum``
+(/root/reference/eftpipe/theory.py:557-609): cosmology inputs → bird →
+IR resummation → AP → window (+icc) → fiber → per-(chained, binned) products.
+All Phase-A tables are built once in :meth:`TracerPipeline.build`; the
+per-evaluation :meth:`compute_bird` / :meth:`products` methods are pure jnp
+for a *single* evaluation — wrap in ``jax.vmap`` for a walker batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+from .config import EFTConfig
+from .nonlinear import build_nonlinear_tables, nonlinear_pscf
+from .bird import build_bird_tables, assemble_bird, BirdState
+from .resum import build_resum_tables, resum_ps
+from .ap import build_ap_tables, ap_transform, ap_params
+from .window import build_window_tables, apply_window, build_window_matrix_tables, apply_window_matrix
+from .icc import build_icc_tables
+from .fiber import build_fiber_tables, apply_fiber
+from .transforms import build_binning_matrix, apply_binning, apply_chained
+
+
+class CosmoInputs(NamedTuple):
+    """Per-evaluation cosmology inputs for one tracer.
+
+    ``plin`` must be sampled on the pipeline's fixed ``cfg.kin`` grid.
+    ``qperp``/``qpar`` are the AP distortion parameters (DA/DA_fid and
+    H_fid/H); pass 1.0 to disable distortion.  The template-fit mode
+    (reference ``LinearPowerFile``, boltzmann.py:246-315) feeds sampled
+    α's directly as q's.
+    """
+
+    plin: Any
+    f: Any
+    qperp: Any = 1.0
+    qpar: Any = 1.0
+
+
+@dataclass
+class TracerPipeline:
+    cfg: EFTConfig
+    nt: dict
+    bt: dict
+    rt: dict | None = None
+    at: dict | None = None
+    wt: dict | None = None
+    wmt: dict | None = None
+    ft: dict | None = None
+    with_rsd: bool = True
+    zeff: float | None = None
+
+    @classmethod
+    def build(
+        cls,
+        cfg: EFTConfig,
+        zeff: float | None = None,
+        with_irresum: bool | dict = True,
+        apeffect: dict | None = None,
+        window: dict | None = None,
+        window_matrix: dict | None = None,
+        icc: dict | None = None,
+        fiber: dict | None = None,
+        with_rsd: bool = True,
+        cache_dir=None,
+    ) -> "TracerPipeline":
+        nt = build_nonlinear_tables(cfg)
+        bt = build_bird_tables(cfg)
+        rt = None
+        if with_irresum:
+            kwargs = with_irresum if isinstance(with_irresum, dict) else {}
+            rt = build_resum_tables(cfg, **kwargs)
+        at = build_ap_tables(cfg, **apeffect) if apeffect else None
+        icc_tables = build_icc_tables(cfg, cache_dir=cache_dir, **icc) if icc else None
+        wt = None
+        if window:
+            wt = build_window_tables(cfg, cache_dir=cache_dir, icc_tables=icc_tables, **window)
+        wmt = build_window_matrix_tables(cfg, **window_matrix) if window_matrix else None
+        ft = build_fiber_tables(cfg, **fiber) if fiber else None
+        return cls(cfg=cfg, nt=nt, bt=bt, rt=rt, at=at, wt=wt, wmt=wmt, ft=ft,
+                   with_rsd=with_rsd, zeff=zeff)
+
+    # ------------------------------------------------------------------
+    def compute_bird(self, inputs: CosmoInputs) -> BirdState:
+        cfg = self.cfg
+        plin = inputs.plin
+        f = inputs.f if self.with_rsd else jnp.zeros_like(jnp.asarray(inputs.f))
+        out = nonlinear_pscf(self.nt, cfg, plin)
+        bird = assemble_bird(self.bt, cfg, out, plin, f)
+        if self.rt is not None:
+            bird = resum_ps(self.rt, cfg, bird, plin)
+        if self.at is not None:
+            bird = ap_transform(self.at, cfg, bird, inputs.qperp, inputs.qpar)
+        if self.wt is not None:
+            bird = apply_window(self.wt, cfg, bird)
+        if self.wmt is not None:
+            bird = apply_window_matrix(self.wmt, cfg, bird)
+        if self.ft is not None:
+            bird = apply_fiber(self.ft, cfg, bird)
+        return bird
+
+    def binning_tables(self, kout, **binning_opts) -> dict:
+        return build_binning_matrix(self.cfg, kout, **binning_opts)
+
+    def product(self, bird: BirdState, chained: bool = False,
+                binning: dict | None = None) -> tuple[list[int], np.ndarray, BirdState]:
+        """(ls, kgrid, birdlike) for one (chained, binned) combination
+        (theory.py:590-604)."""
+        cfg = self.cfg
+        out = bird
+        if binning is not None:
+            out = apply_binning(binning, out)
+            kret = binning["keff"]
+        else:
+            kret = cfg.k
+        if chained:
+            out = apply_chained(cfg, out)
+            ls = [2 * i for i in range(cfg.no - 1)]
+        else:
+            ls = [2 * i for i in range(cfg.no)]
+        return ls, kret, out
