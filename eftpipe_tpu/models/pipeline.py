@@ -107,6 +107,13 @@ class TracerPipeline:
     def binning_tables(self, kout, **binning_opts) -> dict:
         return build_binning_matrix(self.cfg, kout, **binning_opts)
 
+    def product_info(self, chained: bool = False, binning: dict | None = None):
+        """Static (ls, kgrid, nk) of a product combination, without tracing."""
+        cfg = self.cfg
+        kret = binning["keff"] if binning is not None else cfg.k
+        ls = [2 * i for i in range(cfg.no - 1 if chained else cfg.no)]
+        return ls, kret, len(kret)
+
     def product(self, bird: BirdState, chained: bool = False,
                 binning: dict | None = None) -> tuple[list[int], np.ndarray, BirdState]:
         """(ls, kgrid, birdlike) for one (chained, binned) combination

@@ -1,0 +1,47 @@
+import numpy as np
+
+from eftpipe_tpu.likelihood.covariance import (
+    GaussianCovariance,
+    Multipole,
+    legendre4_integral,
+    parse_subscripts,
+)
+
+from refbridge import load_reference
+
+
+def test_legendre4_matches_reference_table():
+    ref_cov = load_reference("covariance")
+    for key, val in ref_cov.Gabcd.items():
+        assert abs(legendre4_integral(*key) - val) < 1e-12, key
+
+
+def test_parse_subscripts_matches_reference():
+    ref_cov = load_reference("covariance")
+    for sub in ("aa->aaaa", "aa,bb,ab->aabb", "aa,bb,ab->abab", "aa,bb,ab->bbba"):
+        assert parse_subscripts(sub) == ref_cov.parse_subscripts(sub)
+
+
+def test_fullcov_matches_reference():
+    ref_cov = load_reference("covariance")
+    rng = np.random.default_rng(0)
+    kedges = np.linspace(0, 0.3, 31)
+    n = kedges.size - 1
+
+    def mk(scale, shot):
+        return dict(
+            P0=scale * rng.random(n) + shot,
+            P2=scale * rng.random(n),
+            P4=scale * rng.random(n),
+        )
+
+    paa, pbb, pab = mk(1e4, 1e4), mk(1e3, 5e3), mk(4e3, 0.0)
+    ref = ref_cov.GaussianCovariance(kedges, volume=8.0).fullcov(
+        ref_cov.Multipole(**paa), ref_cov.Multipole(**pbb), ref_cov.Multipole(**pab)
+    )
+    ours = GaussianCovariance(kedges, volume=8.0).fullcov(
+        Multipole(paa["P0"], paa["P2"], paa["P4"]),
+        Multipole(pbb["P0"], pbb["P2"], pbb["P4"]),
+        Multipole(pab["P0"], pab["P2"], pab["P4"]),
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-10)
