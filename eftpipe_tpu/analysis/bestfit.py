@@ -1,0 +1,68 @@
+"""Bestfit theory reconstruction — the ``BestfitModel`` analogue
+(/root/reference/eftpipe/analysis.py:726-880).
+
+Given a built :class:`~eftpipe_tpu.api.orchestrate.Analysis` and a chain (or
+an explicit parameter point), reconstructs the *full* (un-marginalized)
+bestfit model: the analytically-marginalized gaussian EFT parameters are
+restored from their conditional bestfit b_G = F2⁻¹F1 (marginal.py analogue of
+reference marginal.py:155-165, surfaced through the likelihood's
+``bg_bestfit`` output), and theory multipoles are evaluated per tracer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from .multipole import Multipole
+
+
+@dataclass
+class BestfitModel:
+    analysis: Any                       # api.orchestrate.Analysis
+    theta: np.ndarray                   # bestfit sampled vector
+    params: dict = field(init=False)    # full named params incl. restored bG
+
+    @classmethod
+    def from_chains(cls, analysis, chains, burn_in: float = 0.3) -> "BestfitModel":
+        """Bestfit point from a ChainProducts (global fullchi2 rule when
+        available, analysis.py:425-445)."""
+        best = chains.global_bestfit()
+        theta = np.array([best[p] for p in analysis.space.sampled])
+        return cls(analysis=analysis, theta=theta)
+
+    def __post_init__(self):
+        space = self.analysis.space
+        self.params = dict(space.fixed)
+        for i, p in enumerate(space.sampled):
+            self.params[p] = float(self.theta[i])
+        like = self.analysis.like
+        if like is not None and like.marginal is not None:
+            # restore the marginalized parameters: bG = F2⁻¹ F1
+            res = jax.jit(self.analysis.loglike)(jnp.asarray(self.theta))
+            bg = np.asarray(res["bg_bestfit"])
+            for name, value in zip(like.marginal.names, bg):
+                self.params[name] = float(value)
+
+    # -- evaluation -----------------------------------------------------------
+    def multipoles(self, tracer: str, chained: bool = False,
+                   binned: bool = False, kout=None) -> Multipole:
+        ls, k, plk = self.analysis.nonlinear_Plk_grid(
+            tracer, self.params, chained=chained, binned=binned, kout=kout
+        )
+        return Multipole.from_arrays(np.asarray(k), np.asarray(plk), ls)
+
+    def interpolator(self, tracer: str, chained: bool = False):
+        return self.analysis.nonlinear_Plk_interpolator(
+            tracer, self.params, chained=chained
+        )
+
+    def chi2(self) -> dict:
+        res = jax.jit(self.analysis.loglike)(jnp.asarray(self.theta))
+        return {k: float(v) for k, v in res.items() if np.ndim(v) == 0}
+
+    def eft_params(self, tracer: str) -> dict:
+        return self.analysis.eft_params_values_dict(tracer, self.params)

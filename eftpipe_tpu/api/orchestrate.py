@@ -1,0 +1,504 @@
+"""Config-driven multi-tracer analysis builder — the ``EFTLSS`` analogue.
+
+The reference wires its pipeline through Cobaya: a root Theory parses the
+``tracers:`` block (merging a ``default`` sub-block and validating ``cross``
+references, /root/reference/eftpipe/theory.py:126-156), spawns per-tracer
+helper theories, and an ``EFTLike`` likelihood consumes their products
+(/root/reference/eftpipe/likelihood.py:275-473).  Here the same declarative
+config — a plain dict or a YAML file — builds a self-contained
+:class:`Analysis`: per-tracer Phase-A pipelines + cosmology providers +
+parameter bases + the multi-tracer likelihood + the sampled-parameter prior,
+fused into one jit/vmap-able ``logp(theta)``.
+
+Config schema (YAML-equivalent)::
+
+    theory:
+      cache_dir: cache            # Phase-A artifact cache
+      tracers:
+        default:                  # merged into every tracer (theory.py:133-139)
+          z: 0.7
+          ls: [0, 2]              # output multipoles
+          km: 0.7
+          kr: 0.25
+          nd: 3.0e-4
+          basis: westcoast        # or eastcoast, or dotted path
+          with_NNLO: false
+          with_RSD: true
+          with_IRresum: true      # bool or dict(optiresum=..., nir=...)
+          with_APeffect: false    # or dict(om_ap=..., z_ap=..., ...)
+          with_window: false      # or dict(window_configspace_file=..., ...)
+          with_icc: false         # or dict(icc_configspace_file=..., ...)
+          with_fiber: false       # or dict(...)
+          boltzmann:              # cosmology provider
+            name: eh98            # eh98 | fixed_template | tabulated | emulator
+        LRG: { ... }
+        ELG: { ... }
+        X:  { cross: [LRG, ELG] }
+    likelihood:
+      tracers: [LRG, ELG, X]      # order of the data vector
+      data:
+        LRG: {path: ..., ls: [0, 2], kmin: 0.02, kmax: 0.2}
+        ...
+      cov: path | [paths] | {path: ..., rescale: ..., Nreal: ...}
+      chained: false              # bool or {tracer: bool}
+      binned: true                # bool or {tracer: bool}
+      binning: {}                 # extra per-tracer binning options
+      marg: {LRG_: {b3: {loc: 0, scale: 2}, ...}}
+      jeffreys: false
+    params:
+      omega_cdm: {prior: {min: 0.1, max: 0.14}, ref: 0.12}
+      h:         {prior: {dist: norm, loc: 0.6777, scale: 0.01}}
+      omega_b:   0.02237          # fixed
+      LRG_b1:    {prior: {min: 0, max: 4}, ref: 2.2}
+      ...
+
+Sampled parameters are those with a ``prior``; the rest are fixed.  The prior
+enters ``logp`` (uniform → hard bounds, norm → Gaussian), mirroring Cobaya's
+prior handling at the granularity the reference uses.
+"""
+
+from __future__ import annotations
+
+import copy
+import numpy as np
+import jax.numpy as jnp
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Mapping
+
+from ..models.config import EFTConfig
+from ..models.pipeline import TracerPipeline, CosmoInputs
+from ..likelihood.likelihood import EFTLikelihood, TracerSpec
+from ..likelihood.parambasis import find_param_basis
+from ..boltzmann.eh98 import EisensteinHuProvider
+from ..boltzmann.providers import FixedTemplateProvider, TabulatedProvider
+from ..models.ap import lcdm_da, lcdm_hubble
+from ..utils.dicttools import recursively_update_dict
+from . import products as _products
+
+
+# ----------------------------------------------------------------------
+# config parsing
+# ----------------------------------------------------------------------
+def load_config(src) -> dict:
+    """dict passthrough, or YAML file path."""
+    if isinstance(src, Mapping):
+        return copy.deepcopy(dict(src))
+    import yaml
+
+    with open(src) as f:
+        return yaml.safe_load(f)
+
+
+def merge_tracer_configs(tracers: Mapping[str, Any]) -> dict[str, dict]:
+    """Apply the ``default`` block to every tracer (theory.py:133-139) and
+    validate ``cross`` references (theory.py:143-152)."""
+    tracers = copy.deepcopy(dict(tracers))
+    default = tracers.pop("default", {}) or {}
+    out: dict[str, dict] = {}
+    for name, cfg in tracers.items():
+        merged = copy.deepcopy(default)
+        recursively_update_dict(merged, cfg or {})
+        out[name] = merged
+    for name, cfg in out.items():
+        cross = cfg.get("cross")
+        if cross:
+            if len(cross) != 2:
+                raise ValueError(f"tracer {name}: cross must list exactly 2 tracers")
+            for ref in cross:
+                if ref not in out:
+                    raise ValueError(
+                        f"tracer {name}: cross reference {ref!r} not defined"
+                    )
+                if out[ref].get("cross"):
+                    raise ValueError(f"tracer {name}: cannot cross a cross tracer")
+    return out
+
+
+def _plugin_opts(x, **renames) -> dict | None:
+    """normalize bool-or-dict plugin switches; rename reference-style keys."""
+    if not x:
+        return None
+    opts = dict(x) if isinstance(x, Mapping) else {}
+    for old, new in renames.items():
+        if old in opts:
+            opts[new] = opts.pop(old)
+    return opts
+
+
+def build_tracer(
+    name: str,
+    tcfg: Mapping[str, Any],
+    cross_partners: tuple[Mapping, Mapping] | None = None,
+    cache_dir=None,
+):
+    """(EFTConfig, TracerPipeline, provider, basis) from one tracer block."""
+    zeff = float(tcfg.get("z", tcfg.get("zeff", 0.5)))
+    ls = list(tcfg.get("ls", [0, 2]))
+    nl = max(ls) // 2 + 1
+    basis_name = tcfg.get("basis", "westcoast")
+    basis_cls = find_param_basis(basis_name)
+
+    if cross_partners is not None:
+        a, b = cross_partners
+        km_a, kr_a, nd_a = a.get("km", 0.7), a.get("kr", 0.25), a.get("nd", 3e-4)
+        km_b, kr_b, nd_b = b.get("km", 0.7), b.get("kr", 0.25), b.get("nd", 3e-4)
+    else:
+        km_a, kr_a, nd_a = tcfg.get("km", 0.7), tcfg.get("kr", 0.25), tcfg.get("nd", 3e-4)
+        km_b = kr_b = nd_b = None
+
+    cfg = EFTConfig(
+        nl=max(nl, 2),
+        no=nl,
+        km_a=km_a, kr_a=kr_a, nd_a=nd_a,
+        km_b=km_b, kr_b=kr_b, nd_b=nd_b,
+        with_nnlo=bool(tcfg.get("with_NNLO", False)),
+        counterform=getattr(basis_cls, "counterform", "westcoast"),
+        optiresum=bool(
+            isinstance(tcfg.get("with_IRresum"), Mapping)
+            and tcfg["with_IRresum"].get("optiresum", False)
+        ),
+    )
+
+    irresum = tcfg.get("with_IRresum", True)
+    if isinstance(irresum, Mapping):
+        irresum = {k: v for k, v in irresum.items() if k != "optiresum"} or True
+    ap = _plugin_opts(
+        tcfg.get("with_APeffect"),
+        Om_AP="om_ap", z_AP="z_ap", rdrag_AP="rdrag_ap", h_AP="hubble_ap",
+    )
+    window = _plugin_opts(tcfg.get("with_window"), Nmax="nmax")
+    icc = _plugin_opts(tcfg.get("with_icc"))
+    fiber = _plugin_opts(tcfg.get("with_fiber"))
+
+    pipe = TracerPipeline.build(
+        cfg,
+        zeff=zeff,
+        with_irresum=irresum,
+        apeffect=ap,
+        window=window,
+        icc=icc,
+        fiber=fiber,
+        with_rsd=bool(tcfg.get("with_RSD", True)),
+        cache_dir=cache_dir,
+    )
+
+    if cross_partners is not None:
+        prefixes = [p + "_" for p in tcfg["cross"]]
+        basis = basis_cls(prefix=name + "_", cross_prefix=prefixes)
+    else:
+        basis = basis_cls(prefix=name + "_")
+
+    provider = build_provider(tcfg.get("boltzmann", {"name": "eh98"}), cfg, zeff)
+    return cfg, pipe, provider, basis
+
+
+def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
+    bcfg = dict(bcfg or {})
+    name = bcfg.pop("name", "eh98")
+    if name == "eh98":
+        om_fid = bcfg.pop("om_fid", 0.31)
+        return EisensteinHuProvider(
+            cfg=cfg, zeff=zeff,
+            da_fid=lcdm_da(om_fid, zeff), h_fid=lcdm_hubble(om_fid, zeff),
+            **bcfg,
+        )
+    if name == "fixed_template":
+        return FixedTemplateProvider.from_file(cfg, **bcfg)
+    if name == "tabulated":
+        return TabulatedProvider(cfg=cfg, **bcfg)
+    if name == "emulator":
+        from ..boltzmann.emulator import EmulatorProvider
+
+        return EmulatorProvider.load(cfg=cfg, zeff=zeff, **bcfg)
+    raise ValueError(f"unknown boltzmann provider {name!r}")
+
+
+# ----------------------------------------------------------------------
+# sampled-parameter handling
+# ----------------------------------------------------------------------
+@dataclass
+class ParamSpace:
+    """Split a ``params:`` block into sampled/fixed, with jit-able priors."""
+
+    sampled: list[str]
+    fixed: dict[str, float]
+    priors: dict[str, dict]
+    refs: dict[str, float]
+
+    @classmethod
+    def from_config(cls, params: Mapping[str, Any]) -> "ParamSpace":
+        sampled, fixed, priors, refs = [], {}, {}, {}
+        for name, spec in (params or {}).items():
+            if isinstance(spec, Mapping) and "prior" in spec:
+                sampled.append(name)
+                priors[name] = dict(spec["prior"])
+                if "ref" in spec:
+                    refs[name] = float(spec["ref"])
+                elif "loc" in priors[name]:
+                    refs[name] = float(priors[name]["loc"])
+                else:
+                    refs[name] = 0.5 * (
+                        float(priors[name]["min"]) + float(priors[name]["max"])
+                    )
+            elif isinstance(spec, Mapping) and "value" in spec:
+                fixed[name] = float(spec["value"])
+            else:
+                fixed[name] = float(spec)
+        return cls(sampled=sampled, fixed=fixed, priors=priors, refs=refs)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.sampled)
+
+    def theta0(self) -> np.ndarray:
+        return np.array([self.refs[p] for p in self.sampled])
+
+    def to_dict(self, theta) -> dict:
+        out = dict(self.fixed)
+        for i, p in enumerate(self.sampled):
+            out[p] = theta[i]
+        return out
+
+    def log_prior(self, theta):
+        lp = jnp.asarray(0.0, jnp.result_type(theta))
+        for i, p in enumerate(self.sampled):
+            spec = self.priors[p]
+            x = theta[i]
+            if spec.get("dist", "uniform") == "norm":
+                loc, scale = spec["loc"], spec["scale"]
+                lp = lp - 0.5 * ((x - loc) / scale) ** 2 - jnp.log(
+                    scale * jnp.sqrt(2.0 * jnp.pi)
+                )
+            else:
+                lo, hi = spec["min"], spec["max"]
+                inside = (x >= lo) & (x <= hi)
+                lp = lp + jnp.where(inside, -jnp.log(hi - lo), -jnp.inf)
+        return lp
+
+
+# ----------------------------------------------------------------------
+# the Analysis object
+# ----------------------------------------------------------------------
+@dataclass(eq=False)
+class Analysis:
+    """A fully built multi-tracer analysis: ``logp(theta)`` is one jittable
+    scalar function; products mirror the reference provider API."""
+
+    configs: dict[str, EFTConfig]
+    pipelines: dict[str, TracerPipeline]
+    providers: dict[str, Any]
+    bases: dict[str, Any]
+    like: EFTLikelihood | None
+    space: ParamSpace
+    dtype: Any = jnp.float64
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def from_config(cls, src, dtype=jnp.float64) -> "Analysis":
+        info = load_config(src)
+        theory = info.get("theory", {})
+        cache_dir = theory.get("cache_dir")
+        tracer_cfgs = merge_tracer_configs(theory.get("tracers", {}))
+
+        configs, pipelines, providers, bases = {}, {}, {}, {}
+        for name, tcfg in tracer_cfgs.items():
+            partners = None
+            if tcfg.get("cross"):
+                a, b = tcfg["cross"]
+                partners = (tracer_cfgs[a], tracer_cfgs[b])
+            cfg, pipe, provider, basis = build_tracer(
+                name, tcfg, cross_partners=partners, cache_dir=cache_dir
+            )
+            configs[name], pipelines[name] = cfg, pipe
+            providers[name], bases[name] = provider, basis
+
+        like = None
+        lk = info.get("likelihood")
+        if lk:
+            order = lk.get("tracers", list(tracer_cfgs))
+            chained = lk.get("chained", False)
+            binned = lk.get("binned", True)
+            binning = lk.get("binning", {})
+
+            def per_tracer(x, name, default):
+                if isinstance(x, Mapping):
+                    return x.get(name, default)
+                return x
+
+            specs = {}
+            for name in order:
+                specs[name] = TracerSpec(
+                    pipeline=pipelines[name],
+                    basis=bases[name],
+                    data=dict(lk["data"][name]),
+                    chained=bool(per_tracer(chained, name, False)),
+                    with_binning=bool(per_tracer(binned, name, True)),
+                    with_interp=not bool(per_tracer(binned, name, True)),
+                    binning=dict(per_tracer(binning, name, {}) or {}),
+                )
+            like = EFTLikelihood(
+                tracers=specs,
+                cov=lk["cov"],
+                marg=lk.get("marg"),
+                jeffreys=bool(lk.get("jeffreys", False)),
+            )
+
+        space = ParamSpace.from_config(info.get("params", {}))
+        # template-fit fast path: with a fixed P_lin and no sampled amplitude
+        # the loop products are Phase-A constants (pipeline.freeze_template)
+        amp_free = "A" not in space.sampled and space.fixed.get("A", 1.0) == 1.0
+        if amp_free:
+            for name, prov in providers.items():
+                if isinstance(prov, FixedTemplateProvider):
+                    pipelines[name].freeze_template(prov.plin)
+        return cls(
+            configs=configs, pipelines=pipelines, providers=providers,
+            bases=bases, like=like, space=space, dtype=dtype,
+        )
+
+    # -- evaluation -------------------------------------------------------
+    def params_dict(self, theta) -> dict:
+        return {
+            k: (v if not isinstance(v, float) else jnp.asarray(v, self.dtype))
+            for k, v in self.space.to_dict(theta).items()
+        }
+
+    def _inputs(self, params, tracers=None) -> dict[str, CosmoInputs]:
+        names = tracers if tracers is not None else list(self.pipelines)
+        out = {}
+        for t in names:
+            ci = self.providers[t].inputs(params)
+            out[t] = CosmoInputs(
+                plin=ci.plin.astype(self.dtype),
+                f=jnp.asarray(ci.f, self.dtype),
+                qperp=jnp.asarray(ci.qperp, self.dtype),
+                qpar=jnp.asarray(ci.qpar, self.dtype),
+            )
+        return out
+
+    def loglike(self, theta) -> dict:
+        if self.like is None:
+            raise ValueError("no likelihood block in the config")
+        theta = jnp.asarray(theta, self.dtype)
+        params = self.params_dict(theta)
+        inputs = self._inputs(params, list(self.like.runtimes))
+        return self.like.logp(inputs, params)
+
+    def logp(self, theta):
+        """log prior + log likelihood, one jit/vmap-able scalar."""
+        theta = jnp.asarray(theta, self.dtype)
+        lp = self.space.log_prior(theta).astype(self.dtype)
+        res = self.loglike(theta)
+        return jnp.where(jnp.isfinite(lp), lp + res["logp"], -jnp.inf)
+
+    # -- products (reference theory.py:244-267) ---------------------------
+    def _tracer_eval(self, tracer, params):
+        params = {
+            k: jnp.asarray(v, self.dtype) if isinstance(v, float) else v
+            for k, v in {**self.space.fixed, **dict(params)}.items()
+        }
+        return self._inputs(params, [tracer])[tracer], params
+
+    def nonlinear_Plk_grid(self, tracer, params, chained=False, binned=False,
+                           kout=None, **binning_opts):
+        inputs, params = self._tracer_eval(tracer, params)
+        binning = (
+            self.pipelines[tracer].binning_tables(kout, **binning_opts)
+            if binned else None
+        )
+        return _products.plk_grid(
+            self.pipelines[tracer], self.bases[tracer], inputs, params,
+            chained=chained, binning=binning,
+        )
+
+    def nonlinear_Plk_interpolator(self, tracer, params, chained=False):
+        inputs, params = self._tracer_eval(tracer, params)
+        return _products.plk_interpolator(
+            self.pipelines[tracer], self.bases[tracer], inputs, params,
+            chained=chained,
+        )
+
+    def nonlinear_Plk_gaussian_grid(self, tracer, params, chained=False,
+                                    binned=False, kout=None, **binning_opts):
+        inputs, params = self._tracer_eval(tracer, params)
+        binning = (
+            self.pipelines[tracer].binning_tables(kout, **binning_opts)
+            if binned else None
+        )
+        return _products.plk_gaussian_grid(
+            self.pipelines[tracer], self.bases[tracer], inputs, params,
+            chained=chained, binning=binning,
+        )
+
+    def bird_component(self, tracer, params, chained=False):
+        inputs, params = self._tracer_eval(tracer, params)
+        return _products.bird_component(
+            self.pipelines[tracer], self.bases[tracer], inputs, params,
+            chained=chained,
+        )
+
+    def snapshots(self, tracer, params):
+        inputs, _ = self._tracer_eval(tracer, params)
+        return _products.snapshots(self.pipelines[tracer], inputs)
+
+    def eft_params_values_dict(self, tracer, params) -> dict:
+        basis = self.bases[tracer]
+        full = {**self.space.fixed, **dict(params)}
+        names = basis.non_gaussian_params() + basis.gaussian_params()
+        return {n: full.get(n, 0.0) for n in names}
+
+    # -- derived parameters (reference theory.py:611-648, likelihood.py:587-612)
+    def derived_names(self) -> list[str]:
+        names = []
+        for t in self.pipelines:
+            names += [f"{t}_fz", f"{t}_alperp", f"{t}_alpara"]
+        if self.like is not None:
+            names += ["chi2", "fullchi2"]
+        return names
+
+    def derived(self, theta):
+        """Per-tracer growth/AP derived params + chi² columns (jit-able)."""
+        theta = jnp.asarray(theta, self.dtype)
+        params = self.params_dict(theta)
+        vals = []
+        for t in self.pipelines:
+            ci = self.providers[t].inputs(params)
+            vals += [jnp.asarray(ci.f, self.dtype),
+                     jnp.asarray(ci.qperp, self.dtype),
+                     jnp.asarray(ci.qpar, self.dtype)]
+        if self.like is not None:
+            res = self.loglike(theta)
+            vals += [res["chi2"], res["fullchi2"]]
+        return jnp.stack(vals)
+
+    # -- sampling ----------------------------------------------------------
+    def sampler(self, nwalkers: int = 256, chunk_size: int | None = None, a: float = 2.0):
+        from ..parallel.sampler import EnsembleSampler
+
+        return EnsembleSampler(
+            logp=self.logp, nwalkers=nwalkers, ndim=self.space.ndim,
+            a=a, chunk_size=chunk_size,
+        )
+
+    def run_mcmc(
+        self,
+        nwalkers: int = 256,
+        out=None,
+        rhat_tol: float = 0.01,
+        max_steps: int = 10_000,
+        key: int = 0,
+        with_derived: bool = True,
+        **driver_kwargs,
+    ):
+        """Blocked ensemble MCMC with checkpoint/resume (parallel/mcmc.py)."""
+        from ..parallel.mcmc import MCMCDriver
+
+        driver = MCMCDriver(
+            logp=self.logp, ndim=self.space.ndim, nwalkers=nwalkers,
+            rhat_tol=rhat_tol, out=out, param_names=list(self.space.sampled),
+            derived_names=self.derived_names() if with_derived else None,
+            derived_fn=self.derived if with_derived else None,
+            **driver_kwargs,
+        )
+        return driver.run(key=key, x0=self.space.theta0(), max_steps=max_steps)

@@ -18,7 +18,7 @@ from typing import Any, NamedTuple
 from .config import EFTConfig
 from .nonlinear import build_nonlinear_tables, nonlinear_pscf
 from .bird import build_bird_tables, assemble_bird, BirdState
-from .resum import build_resum_tables, resum_ps
+from .resum import build_resum_tables, resum_ps, ir_filters, _xpyp
 from .ap import build_ap_tables, ap_transform, ap_params
 from .window import build_window_tables, apply_window, build_window_matrix_tables, apply_window_matrix
 from .icc import build_icc_tables
@@ -54,6 +54,7 @@ class TracerPipeline:
     ft: dict | None = None
     with_rsd: bool = True
     zeff: float | None = None
+    frozen: dict | None = None
 
     @classmethod
     def build(
@@ -86,22 +87,61 @@ class TracerPipeline:
                    with_rsd=with_rsd, zeff=zeff)
 
     # ------------------------------------------------------------------
-    def compute_bird(self, inputs: CosmoInputs) -> BirdState:
+    def freeze_template(self, plin) -> "TracerPipeline":
+        """Template-fit fast path (reference ``LinearPowerFile`` mode,
+        boltzmann.py:246-315): everything that depends only on P_lin — the
+        one-loop FFTLog/M-matrix contractions and the IR filter powers — is
+        precomputed ONCE on the host, so per-evaluation work reduces to the
+        f- and AP-dependent contractions.  Also avoids XLA constant-folding
+        the loop engine at compile time when P_lin is a jit constant."""
+        import jax
+
+        plin = jnp.asarray(plin)
+
+        def compute(p):
+            frozen = {"nl_out": nonlinear_pscf(self.nt, self.cfg, p)}
+            if self.rt is not None:
+                x, y = ir_filters(self.rt, p)
+                frozen["xpyp"] = _xpyp(self.rt, x, y)
+            return frozen
+
+        frozen = jax.jit(compute)(plin)
+        self.frozen = jax.tree.map(lambda a: np.asarray(a), frozen)
+        return self
+
+    def compute_bird(self, inputs: CosmoInputs, with_snapshots: bool = False):
+        """Full bird pipeline; with ``with_snapshots`` also returns the
+        intermediate state after each enabled stage (reference BirdSnapshot,
+        pybird.py:616-632)."""
         cfg = self.cfg
         plin = inputs.plin
         f = inputs.f if self.with_rsd else jnp.zeros_like(jnp.asarray(inputs.f))
-        out = nonlinear_pscf(self.nt, cfg, plin)
+        snaps: dict[str, BirdState] = {}
+        if self.frozen is not None:
+            dtype = jnp.asarray(plin).dtype
+            out = {k: jnp.asarray(v, dtype) for k, v in self.frozen["nl_out"].items()}
+        else:
+            out = nonlinear_pscf(self.nt, cfg, plin)
         bird = assemble_bird(self.bt, cfg, out, plin, f)
+        snaps["nonlinear"] = bird
         if self.rt is not None:
-            bird = resum_ps(self.rt, cfg, bird, plin)
+            xpyp = self.frozen.get("xpyp") if self.frozen is not None else None
+            bird = resum_ps(self.rt, cfg, bird, plin, xpyp=xpyp)
+            snaps["IRresum"] = bird
         if self.at is not None:
             bird = ap_transform(self.at, cfg, bird, inputs.qperp, inputs.qpar)
+            snaps["APeffect"] = bird
         if self.wt is not None:
             bird = apply_window(self.wt, cfg, bird)
+            snaps["window"] = bird
         if self.wmt is not None:
             bird = apply_window_matrix(self.wmt, cfg, bird)
+            snaps["window_matrix"] = bird
         if self.ft is not None:
             bird = apply_fiber(self.ft, cfg, bird)
+            snaps["fiber"] = bird
+        if with_snapshots:
+            return bird, snaps
         return bird
 
     def binning_tables(self, kout, **binning_opts) -> dict:

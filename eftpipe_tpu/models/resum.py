@@ -179,11 +179,19 @@ def _expand(x, extra: int):
     return x
 
 
-def resum_ps(rt: dict, cfg: EFTConfig, bird: BirdState, plin_kin) -> BirdState:
-    """Add the IR corrections to P11l/Pctl/(PctNNLOl)/Ploopl (pybird.py:1413-1464)."""
+def resum_ps(rt: dict, cfg: EFTConfig, bird: BirdState, plin_kin,
+             xpyp=None) -> BirdState:
+    """Add the IR corrections to P11l/Pctl/(PctNNLOl)/Ploopl (pybird.py:1413-1464).
+
+    ``xpyp`` may be passed precomputed (frozen-template mode: the IR filter
+    powers depend only on P_lin, so a fixed template makes them Phase-A
+    constants)."""
     dtype = plin_kin.dtype
-    x, y = ir_filters(rt, plin_kin)
-    xpyp = _xpyp(rt, x, y)
+    if xpyp is None:
+        x, y = ir_filters(rt, plin_kin)
+        xpyp = _xpyp(rt, x, y)
+    else:
+        xpyp = jnp.asarray(xpyp, dtype)
 
     ir11 = _ir_correction(rt, cfg, xpyp, bird.c11)      # (..., nl, nn, nk)
     irct = _ir_correction(rt, cfg, xpyp, bird.cct)

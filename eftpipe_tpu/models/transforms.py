@@ -34,11 +34,31 @@ def map_pk_fields(bird: BirdState, fn) -> BirdState:
 # ---------------------------------------------------------------------------
 
 def infer_kedges(kout: np.ndarray, decimals: int = 2) -> tuple[np.ndarray, np.ndarray]:
-    """Bin edges from the data grid spacing (binning.py:100-111)."""
+    """Bin edges from the data grid spacing (binning.py:100-111).
+
+    The reference rounds the last spacing to a fixed number of decimals and
+    warns that the result is "only suitable for dk like 0.01, 0.005, 0.001"
+    (binning.py:67-76) — with decimals=2 a 0.005-spaced grid silently rounds
+    to 0.01 and the bins come out reversed.  Here the decimal count adapts:
+    it grows until the rounded spacing agrees with the measured one to 1%,
+    so the reference behaviour is kept whenever it is valid and the silent
+    failure mode is removed.
+    """
     kout = np.asarray(kout, dtype=np.float64)
-    delta_k = np.round(kout[-1] - kout[-2], decimals)
+    dk = kout[-1] - kout[-2]
+    delta_k = np.round(dk, decimals)
+    while decimals < 12 and not np.isclose(delta_k, dk, rtol=1e-2, atol=0):
+        decimals += 1
+        delta_k = np.round(dk, decimals)
     kcentral = (kout[-1] - delta_k * np.arange(kout.size))[::-1]
-    return kcentral - delta_k / 2.0, kcentral + delta_k / 2.0
+    kmin, kmax = kcentral - delta_k / 2.0, kcentral + delta_k / 2.0
+    if kmin[0] < 0:
+        raise ValueError(
+            f"inferred bin edges start below zero (delta_k={delta_k}); "
+            "the data k-grid is not linearly spaced — pass explicit "
+            "kstart/kend/nbins"
+        )
+    return kmin, kmax
 
 
 def explicit_kedges(kout, kstart: float, kend: float, nbins: int):

@@ -1,0 +1,220 @@
+"""MCMC driver: blocked ensemble sampling with checkpoint/resume and
+convergence stopping.
+
+The reference's sampling loop is Cobaya's MCMC: MPI process-per-chain,
+R−1 convergence stopping, chain ``.txt`` files plus a ``.progress`` /
+checkpoint for resume (consumed by /root/reference/eftpipe/analysis.py:245-261).
+Here the ensemble lives on-device: each block of steps is one jitted
+``lax.scan`` (parallel/sampler.py), the host only sees thinned chain blocks,
+computes split-R̂ over walkers (diagnostics.py), checkpoints atomically, and
+stops when R−1 drops below the requested threshold.
+
+Chain output is getdist-compatible: ``<prefix>.1.txt`` with columns
+``weight  -logpost  <params...>  <derived...>`` and a ``<prefix>.paramnames``
+sidecar — the same convention Cobaya uses, so downstream chain tooling works
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import numpy as np
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from .sampler import EnsembleSampler
+from .diagnostics import gelman_rubin, integrated_autocorr_time
+
+
+def _atomic_savez(path: Path, **arrays) -> None:
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+@dataclass
+class MCMCResult:
+    chain: np.ndarray        # (nsteps, nwalkers, ndim) thinned
+    logps: np.ndarray        # (nsteps, nwalkers)
+    rminus1: np.ndarray      # per-parameter R̂ − 1 at the end
+    accept_rate: float
+    converged: bool
+    tau: np.ndarray | None = None
+
+    def flat(self, burn_frac: float = 0.3) -> np.ndarray:
+        start = int(burn_frac * self.chain.shape[0])
+        return self.chain[start:].reshape(-1, self.chain.shape[-1])
+
+
+@dataclass
+class MCMCDriver:
+    """Blocked ensemble MCMC with convergence stopping and resume.
+
+    Parameters
+    ----------
+    logp : scalar log-posterior ``theta -> float`` (jit/vmap-able)
+    ndim : parameter dimension
+    nwalkers : ensemble size (even)
+    rhat_tol : stop when max-over-params (R̂ − 1) < rhat_tol
+    block : steps per jitted scan block (host sees the chain between blocks)
+    out : optional output prefix; enables checkpointing + chain files
+    param_names : column names for the chain files
+    derived_fn : optional ``theta_batch -> (nwalkers, nderived)`` evaluated on
+        the final ensemble of each block and stored alongside the chain
+    """
+
+    logp: Callable
+    ndim: int
+    nwalkers: int = 256
+    a: float = 2.0
+    chunk_size: int | None = None
+    rhat_tol: float = 0.01
+    block: int = 100
+    thin: int = 1
+    burn_frac: float = 0.5
+    out: str | os.PathLike | None = None
+    param_names: list[str] | None = None
+    derived_names: list[str] | None = None
+    derived_fn: Callable | None = None
+    min_blocks_before_check: int = 2
+
+    def __post_init__(self):
+        self.sampler = EnsembleSampler(
+            logp=self.logp, nwalkers=self.nwalkers, ndim=self.ndim,
+            a=self.a, chunk_size=self.chunk_size,
+        )
+        self._ckpt = Path(str(self.out) + ".checkpoint.npz") if self.out else None
+
+    # -- persistence ------------------------------------------------------
+    def _save_state(self, key, walkers, chain_blocks, logp_blocks, nsteps_done):
+        if self._ckpt is None:
+            return
+        self._ckpt.parent.mkdir(parents=True, exist_ok=True)
+        _atomic_savez(
+            self._ckpt,
+            key=np.asarray(key),
+            walkers=np.asarray(walkers),
+            chain=np.concatenate(chain_blocks) if chain_blocks else np.zeros((0, self.nwalkers, self.ndim)),
+            logps=np.concatenate(logp_blocks) if logp_blocks else np.zeros((0, self.nwalkers)),
+            nsteps_done=nsteps_done,
+        )
+
+    def _load_state(self):
+        if self._ckpt is None or not self._ckpt.exists():
+            return None
+        with np.load(self._ckpt) as z:
+            return dict(
+                key=jnp.asarray(z["key"]),
+                walkers=jnp.asarray(z["walkers"]),
+                chain=[z["chain"]] if z["chain"].size else [],
+                logps=[z["logps"]] if z["logps"].size else [],
+                nsteps_done=int(z["nsteps_done"]),
+            )
+
+    def write_chains(self, result: MCMCResult, derived: np.ndarray | None = None):
+        """getdist/Cobaya-style ``<out>.1.txt`` + ``<out>.paramnames``."""
+        if self.out is None:
+            raise ValueError("no output prefix configured")
+        prefix = Path(self.out)
+        prefix.parent.mkdir(parents=True, exist_ok=True)
+        names = self.param_names or [f"p{i}" for i in range(self.ndim)]
+        dnames = list(self.derived_names or [])
+        with open(f"{prefix}.paramnames", "w") as f:
+            for n in names + [d + "*" for d in dnames]:
+                f.write(f"{n}\t{n}\n")
+        flat = result.chain.reshape(-1, self.ndim)
+        lp = result.logps.reshape(-1)
+        cols = [np.ones_like(lp), -lp, *flat.T]
+        if derived is not None:
+            cols.extend(np.asarray(derived).reshape(-1, len(dnames)).T)
+        np.savetxt(f"{prefix}.1.txt", np.column_stack(cols))
+        meta = dict(ndim=self.ndim, nwalkers=self.nwalkers, thin=self.thin,
+                    param_names=names, derived_names=dnames)
+        with open(f"{prefix}.params.json", "w") as f:
+            json.dump(meta, f, indent=1)
+
+    # -- main loop ----------------------------------------------------------
+    def run(
+        self,
+        key: int | jax.Array = 0,
+        x0: np.ndarray | None = None,
+        max_steps: int = 10_000,
+        resume: bool = True,
+        progress_fn: Callable | None = None,
+    ) -> MCMCResult:
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+
+        chain_blocks: list[np.ndarray] = []
+        logp_blocks: list[np.ndarray] = []
+        nsteps_done = 0
+        walkers = None
+
+        if resume and (state := self._load_state()) is not None:
+            key = state["key"]
+            walkers = state["walkers"]
+            chain_blocks = state["chain"]
+            logp_blocks = state["logps"]
+            nsteps_done = state["nsteps_done"]
+
+        if walkers is None:
+            if x0 is None:
+                raise ValueError("x0 required for a fresh run")
+            x0 = jnp.asarray(x0)
+            if x0.ndim == 1:
+                key, sub = jax.random.split(key)
+                walkers = self.sampler.init(sub, x0)
+            else:
+                walkers = x0
+
+        converged = False
+        rminus1 = np.full(self.ndim, np.inf)
+        accepts = []
+        blocks_run = len(chain_blocks)
+        while nsteps_done < max_steps:
+            nsteps = min(self.block, max_steps - nsteps_done)
+            key, sub = jax.random.split(key)
+            chain, chain_logp, acc = self.sampler.run(sub, walkers, nsteps, thin=self.thin)
+            chain = np.asarray(chain)
+            chain_logp = np.asarray(chain_logp)
+            walkers = jnp.asarray(chain[-1])
+            chain_blocks.append(chain)
+            logp_blocks.append(chain_logp)
+            accepts.append(float(acc))
+            nsteps_done += nsteps
+            blocks_run += 1
+
+            full = np.concatenate(chain_blocks)
+            if blocks_run >= self.min_blocks_before_check:
+                rminus1 = gelman_rubin(full, burn_frac=self.burn_frac) - 1.0
+            self._save_state(key, walkers, chain_blocks, logp_blocks, nsteps_done)
+            if progress_fn is not None:
+                progress_fn(nsteps_done, float(np.max(rminus1)), float(acc))
+            if np.max(rminus1) < self.rhat_tol:
+                converged = True
+                break
+
+        chain = np.concatenate(chain_blocks)
+        logps = np.concatenate(logp_blocks)
+        tau = None
+        if chain.shape[0] >= 50:
+            tau = integrated_autocorr_time(chain, burn_frac=self.burn_frac)
+        result = MCMCResult(
+            chain=chain, logps=logps, rminus1=rminus1,
+            accept_rate=float(np.mean(accepts)) if accepts else float("nan"),
+            converged=converged, tau=tau,
+        )
+        if self.out is not None:
+            derived = None
+            if self.derived_fn is not None:
+                derived = np.asarray(
+                    jax.vmap(self.derived_fn)(jnp.asarray(chain.reshape(-1, self.ndim)))
+                )
+            self.write_chains(result, derived)
+        return result

@@ -1,0 +1,154 @@
+"""Analysis tooling: chain products, multipole container, Kaiser fit,
+LSS conversions (reference analysis.py:119-1237 analogues)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from eftpipe_tpu.analysis import (
+    ChainProducts,
+    Multipole,
+    KaiserModel,
+    kaiser_multipoles,
+    LssConvertor,
+)
+
+
+# ----------------------------------------------------------------------
+@pytest.fixture()
+def chain_prefix(tmp_path):
+    rng = np.random.default_rng(0)
+    names = ["a", "b"]
+    derived = ["asq"]
+    prefix = tmp_path / "run"
+    with open(f"{prefix}.paramnames", "w") as f:
+        f.write("a\ta\nb\tb\nasq*\tasq\n")
+    for i in (1, 2):
+        n = 500
+        a = rng.normal(1.0, 0.1, n)
+        b = rng.normal(-2.0, 0.2, n)
+        lp = 0.5 * ((a - 1.0) / 0.1) ** 2 + 0.5 * ((b + 2.0) / 0.2) ** 2
+        np.savetxt(f"{prefix}.{i}.txt",
+                   np.column_stack([np.ones(n), lp, a, b, a**2]))
+    return prefix
+
+
+def test_chain_products(chain_prefix):
+    cp = ChainProducts.from_prefix(chain_prefix)
+    assert cp.param_names == ["a", "b"]
+    assert cp.derived_names == ["asq"]
+    assert len(cp.samples) == 1000
+    m = cp.mean(["a", "b"])
+    assert m["a"] == pytest.approx(1.0, abs=0.02)
+    assert m["b"] == pytest.approx(-2.0, abs=0.04)
+    s = cp.std(["a"])
+    assert s["a"] == pytest.approx(0.1, rel=0.15)
+    c = cp.cov()
+    assert c.shape == (2, 2) and c.loc["a", "a"] == pytest.approx(0.01, rel=0.2)
+    best = cp.bestfit()
+    # bestfit sample should be close to the peak
+    assert abs(best["a"] - 1.0) < 0.05 and abs(best["b"] + 2.0) < 0.1
+    # burn-in drops rows
+    cp2 = ChainProducts.from_prefix(chain_prefix, burn_in=0.5)
+    assert len(cp2.samples) == 500
+
+
+def test_chain_global_bestfit_fullchi2(tmp_path):
+    prefix = tmp_path / "g"
+    with open(f"{prefix}.paramnames", "w") as f:
+        f.write("x\tx\nlike_fullchi2*\tfc\n")
+    rows = np.array([
+        [1.0, 5.0, 0.3, 12.0],
+        [1.0, 4.0, 0.7, 3.0],   # lowest fullchi2 but not lowest -logpost
+        [1.0, 2.0, 0.1, 8.0],
+    ])
+    np.savetxt(f"{prefix}.1.txt", rows)
+    cp = ChainProducts.from_prefix(prefix)
+    assert cp.bestfit()["x"] == pytest.approx(0.1)
+    assert cp.global_bestfit()["x"] == pytest.approx(0.7)
+
+
+# ----------------------------------------------------------------------
+def test_multipole_container():
+    k = np.linspace(0.01, 0.2, 20)
+    plk = np.stack([1000 / (1 + k), 300 / (1 + k)])
+    mp = Multipole.from_arrays(k, plk, [0, 2])
+    assert mp.ells == [0, 2]
+    np.testing.assert_allclose(mp(0), plk[0])
+    cov = np.diag(np.concatenate([np.full(20, 4.0), np.full(20, 9.0)]))
+    errs = mp.errorbars(cov)
+    np.testing.assert_allclose(errs[0], 2.0)
+    np.testing.assert_allclose(errs[2], 3.0)
+
+
+def test_multipole_loadtxt_roundtrip(tmp_path):
+    k = np.linspace(0.01, 0.2, 10)
+    p0, p2 = 1e4 * np.exp(-k), 3e3 * np.exp(-k)
+    path = tmp_path / "pk.txt"
+    np.savetxt(path, np.column_stack([k, p0, p2]), header="k P0 P2")
+    mp = Multipole.loadtxt(path)
+    assert mp.ells == [0, 2]
+    np.testing.assert_allclose(mp(0), p0)
+
+
+# ----------------------------------------------------------------------
+def test_kaiser_multipoles_match_mu_integral():
+    """Closed-form multipoles equal brute-force µ quadrature."""
+    from numpy.polynomial.legendre import legval
+
+    k = np.linspace(0.01, 0.2, 5)
+    plin = 1e4 * np.exp(-5 * k)
+    b1, f, c, km, shot = 1.9, 0.75, 1.3, 0.7, 800.0
+    p0, p2, p4 = kaiser_multipoles(k, plin, b1, f, c=c, km=km, shot=shot)
+
+    mu = np.linspace(-1, 1, 20001)
+    kk = (k / km) ** 2
+    pkmu = ((b1 + f * mu[None, :] ** 2) ** 2 * plin[:, None]
+            - 2 * c * (b1 + f * mu[None, :] ** 2) * (kk * plin)[:, None])
+    for ell, pl in [(0, p0 - shot), (2, p2), (4, p4)]:
+        leg = legval(mu, [0] * ell + [1])
+        num = (2 * ell + 1) / 2 * np.trapezoid(pkmu * leg[None, :], mu, axis=1)
+        np.testing.assert_allclose(pl, num, rtol=1e-5)
+
+
+def test_kaiser_fit_recovers_truth():
+    k = np.linspace(0.02, 0.25, 40)
+    plin = 2e4 * np.exp(-6 * k) + 100
+    truth = dict(b1=2.1, c=0.8, shot=600.0)
+    f = 0.78
+    p0, p2, _ = kaiser_multipoles(k, plin, truth["b1"], f, c=truth["c"],
+                                  shot=truth["shot"])
+    model = KaiserModel(k=k, plin=plin, f=f)
+    fit = model.fit(p0, p2)
+    assert fit["b1"] == pytest.approx(truth["b1"], rel=1e-4)
+    assert fit["c"] == pytest.approx(truth["c"], rel=1e-3)
+    assert fit["shot"] == pytest.approx(truth["shot"], rel=1e-3)
+    assert fit["chi2"] < 1e-3  # absolute, in P² units — residual ~1e-4 of P
+    pred0, pred2, _ = model.predict(**{x: fit[x] for x in ("b1", "c", "shot")})
+    np.testing.assert_allclose(pred0, p0, rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+def test_lss_convertor():
+    conv = LssConvertor(om_fid=0.31, h_fid=0.676, rdrag_fid=147.8, z=0.7)
+    # alphas of 1 return the fiducial ratios; DV is the cube-mean
+    dm = conv.dm_over_rd(1.0)
+    dh = conv.dh_over_rd(1.0)
+    dv = conv.dv_over_rd(1.0, 1.0)
+    assert dv == pytest.approx((0.7 * dm**2 * dh) ** (1 / 3))
+    # sanity: eBOSS LRG-scale numbers (DM/rd ~ 17-18, DH/rd ~ 19-20 at z=0.7)
+    assert 16.0 < dm < 19.0
+    assert 18.0 < dh < 21.0
+    # vectorised over chains
+    out = conv.dm_over_rd(np.array([0.98, 1.0, 1.02]))
+    assert out.shape == (3,) and out[0] < out[2]
+
+
+def test_growth_quadrature_matches_jax_version():
+    from eftpipe_tpu.analysis.convert import growth_rate
+    from eftpipe_tpu.boltzmann.eh98 import lcdm_growth
+
+    for om, z in [(0.31, 0.7), (0.25, 1.2)]:
+        f_scipy = growth_rate(om, z)
+        f_jax = float(lcdm_growth(om, z)[1])
+        np.testing.assert_allclose(f_scipy, f_jax, rtol=1e-5)

@@ -1,0 +1,213 @@
+"""Config-driven orchestration (api/orchestrate.py): the EFTLSS analogue.
+
+Covers the reference's tracer-config merging/validation (theory.py:126-156),
+product surface (theory.py:244-267) and the end-to-end config → logp path
+for a two-tracer + cross analysis in template-fit mode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from eftpipe_tpu.api.orchestrate import (
+    Analysis,
+    ParamSpace,
+    merge_tracer_configs,
+)
+
+
+def test_merge_tracer_configs_default_and_cross():
+    cfgs = merge_tracer_configs({
+        "default": {"ls": [0, 2], "nd": 1e-4, "with_IRresum": True},
+        "A": {"z": 0.5},
+        "B": {"z": 0.8, "nd": 2e-4},
+        "X": {"z": 0.6, "cross": ["A", "B"]},
+    })
+    assert cfgs["A"]["ls"] == [0, 2] and cfgs["A"]["nd"] == 1e-4
+    assert cfgs["B"]["nd"] == 2e-4
+    assert cfgs["X"]["cross"] == ["A", "B"]
+
+    with pytest.raises(ValueError, match="not defined"):
+        merge_tracer_configs({"X": {"cross": ["A", "missing"]}, "A": {}})
+    with pytest.raises(ValueError, match="exactly 2"):
+        merge_tracer_configs({"X": {"cross": ["X"]}})
+
+
+def test_param_space_priors():
+    space = ParamSpace.from_config({
+        "a": {"prior": {"min": 0.0, "max": 2.0}, "ref": 1.0},
+        "b": {"prior": {"dist": "norm", "loc": 3.0, "scale": 0.5}},
+        "c": 42.0,
+        "d": {"value": 7.0},
+    })
+    assert space.sampled == ["a", "b"]
+    assert space.fixed == {"c": 42.0, "d": 7.0}
+    np.testing.assert_allclose(space.theta0(), [1.0, 3.0])
+
+    lp_in = space.log_prior(jnp.array([1.0, 3.0]))
+    lp_out = space.log_prior(jnp.array([2.5, 3.0]))
+    assert np.isfinite(lp_in) and np.isneginf(lp_out)
+    # norm prior contributes its density
+    lp_shift = space.log_prior(jnp.array([1.0, 3.5]))
+    np.testing.assert_allclose(lp_in - lp_shift, 0.5, atol=1e-12)
+
+    d = space.to_dict(np.array([0.3, 2.9]))
+    assert d["a"] == 0.3 and d["c"] == 42.0
+
+
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def template_file(tmp_path_factory):
+    """EH98 linear P(k) written to disk (the template-fit input)."""
+    from eftpipe_tpu.boltzmann.eh98 import eh98_pk
+
+    path = tmp_path_factory.mktemp("tpl") / "plin.txt"
+    k = np.logspace(-5, 0, 300)
+    pk = np.asarray(eh98_pk(jnp.asarray(k), 0.02237, 0.12, 0.6777, 3.044,
+                            0.9649, 0.7)[0])
+    np.savetxt(path, np.column_stack([k, pk]))
+    return path
+
+
+def make_config(workdir, template_file, with_like=True):
+    theory = {
+        "tracers": {
+            "default": {
+                "ls": [0, 2],
+                "with_IRresum": True,
+                "with_APeffect": False,
+                "boltzmann": {"name": "fixed_template", "path": str(template_file)},
+            },
+            "LRG": {"z": 0.7, "nd": 5e-5},
+            "ELG": {"z": 0.845, "nd": 1.85e-4},
+            "X": {"z": 0.77, "cross": ["LRG", "ELG"]},
+        }
+    }
+    info = {
+        "theory": theory,
+        "params": {
+            "f": {"prior": {"min": 0.1, "max": 1.5}, "ref": 0.8},
+            "alperp": 1.0,
+            "alpara": 1.0,
+            "LRG_b1": {"prior": {"min": 0.0, "max": 4.0}, "ref": 2.2},
+            "LRG_b2": 0.8, "LRG_b4": 0.8,
+            "ELG_b1": {"prior": {"min": 0.0, "max": 4.0}, "ref": 1.3},
+            "ELG_b2": 0.5, "ELG_b4": 0.5,
+        },
+    }
+    if with_like:
+        info["likelihood"] = {
+            "tracers": ["LRG", "ELG", "X"],
+            "data": {
+                "LRG": {"path": str(workdir / "data_LRG.txt"), "ls": [0, 2],
+                        "kmin": 0.02, "kmax": 0.2},
+                "ELG": {"path": str(workdir / "data_ELG.txt"), "ls": [0, 2],
+                        "kmin": 0.03, "kmax": 0.2},
+                "X": {"path": str(workdir / "data_X.txt"), "ls": [0, 2],
+                      "kmin": 0.03, "kmax": 0.15},
+            },
+            "cov": str(workdir / "cov.txt"),
+            "binned": True,
+            "marg": {
+                "LRG_": {"b3": {"loc": 0, "scale": 2}, "cct": {"loc": 0, "scale": 4}},
+                "ELG_": {"b3": {"loc": 0, "scale": 2}},
+            },
+        }
+    return info
+
+
+@pytest.fixture(scope="module")
+def analysis(tmp_path_factory, template_file):
+    workdir = tmp_path_factory.mktemp("orch")
+    # phase 1: theory-only Analysis to generate mock data at the reference point
+    th = Analysis.from_config(make_config(workdir, template_file, with_like=False))
+    fid = {"f": 0.8, "alperp": 1.0, "alpara": 1.0,
+           "LRG_b1": 2.2, "ELG_b1": 1.3, "X_ce0": 0.0}
+    kout = np.arange(0.01, 0.2049, 0.005)
+    ndata = 0
+    for name in ["LRG", "ELG", "X"]:
+        ls, keff, plk = jax.jit(
+            lambda: th.nonlinear_Plk_grid(name, fid, binned=True, kout=kout)
+        )()
+        np.savetxt(workdir / f"data_{name}.txt",
+                   np.column_stack([kout, np.asarray(plk[0]), np.asarray(plk[1])]),
+                   header="k P0 P2")
+        ndata += 2 * kout.size
+    cov = np.eye(ndata) * 25.0
+    np.savetxt(workdir / "cov.txt", cov)
+    return Analysis.from_config(make_config(workdir, template_file))
+
+
+def test_analysis_structure(analysis):
+    assert set(analysis.pipelines) == {"LRG", "ELG", "X"}
+    assert analysis.bases["X"].is_cross()
+    assert analysis.bases["X"].cross_prefix == ["LRG_", "ELG_"]
+    # cross tracer picks up the B-variant normalisation from ELG
+    assert analysis.configs["X"].nd_a == 5e-5
+    assert analysis.configs["X"].nd_b == 1.85e-4
+    assert analysis.space.sampled == ["f", "LRG_b1", "ELG_b1"]
+
+
+def test_logp_peaks_at_fiducial(analysis):
+    theta0 = jnp.asarray(analysis.space.theta0())
+    logp = jax.jit(analysis.logp)
+    lp0 = logp(theta0)
+    assert np.isfinite(lp0)
+    # data was generated at the fiducial point with no marginalized params
+    # switched on, so chi2 there is ~0 and any shift decreases logp
+    for i in range(theta0.size):
+        lp = logp(theta0.at[i].add(0.05))
+        assert lp < lp0
+    # out of prior bounds -> -inf
+    assert np.isneginf(logp(theta0.at[0].set(2.0)))
+
+
+def test_logp_vmap(analysis):
+    theta0 = analysis.space.theta0()
+    thetas = jnp.asarray(theta0[None, :] * np.array([1.0, 1.001, 0.999])[:, None])
+    out = jax.jit(jax.vmap(analysis.logp))(thetas)
+    assert out.shape == (3,) and bool(jnp.isfinite(out).all())
+
+
+def test_products(analysis):
+    fid = {"f": 0.8, "LRG_b1": 2.2, "ELG_b1": 1.3}
+    ls, k, plk = analysis.nonlinear_Plk_grid("LRG", fid)
+    assert ls == [0, 2] and plk.shape == (2, k.size)
+
+    interp = analysis.nonlinear_Plk_interpolator("LRG", fid)
+    # interpolator agrees with the grid at interior nodes
+    np.testing.assert_allclose(
+        np.asarray(interp(0, k[5:10])), np.asarray(plk[0, 5:10]), rtol=1e-6
+    )
+    both = interp([0, 2], k[5:10])
+    assert both.shape == (2, 5)
+
+    ls, k, table = analysis.nonlinear_Plk_gaussian_grid("LRG", fid)
+    assert "LRG_b3" in table and "LRG_cct" in table
+    assert table["LRG_b3"].shape == (2, k.size)
+
+    ls, k, comp = analysis.bird_component("LRG", fid)
+    np.testing.assert_allclose(
+        np.asarray(comp.sum()), np.asarray(plk), rtol=1e-10
+    )
+
+    snaps = analysis.snapshots("LRG", fid)
+    assert "nonlinear" in snaps and "IRresum" in snaps
+
+    vals = analysis.eft_params_values_dict("LRG", fid)
+    assert vals["LRG_b1"] == 2.2 and vals["LRG_b3"] == 0.0
+
+
+def test_gaussian_table_matches_autodiff(analysis):
+    """∂P/∂b_G from the analytic table equals jax.grad of the reduced P."""
+    fid = {"f": 0.8, "LRG_b1": 2.2}
+
+    def p0_of_b3(b3):
+        params = dict(fid, LRG_b3=b3)
+        _, _, plk = analysis.nonlinear_Plk_grid("LRG", params)
+        return plk[0]
+
+    g = jax.jacfwd(p0_of_b3)(jnp.asarray(0.3))
+    _, _, table = analysis.nonlinear_Plk_gaussian_grid("LRG", fid)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(table["LRG_b3"][0]),
+                               rtol=1e-8, atol=1e-10)
