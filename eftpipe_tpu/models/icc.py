@@ -50,11 +50,16 @@ def ic_panel_to_ndarray(arr: np.ndarray, inorder: bool = False):
 
 
 def read_ic_file(path) -> np.ndarray:
-    """Load the config-space IC table: .npy directly, text via pandas
-    (icc.py:80-103)."""
+    """Load the config-space IC table: .npy directly, text via the native
+    C++ parser when available, pandas otherwise (icc.py:80-103 — the
+    reference flags this load at ~1 min pandas / ~10 min loadtxt)."""
     path = Path(path)
     if path.suffix == ".npy":
         return np.load(path)
+    from .. import native
+
+    if native.available():
+        return native.loadtxt(path)
     import pandas as pd
 
     df = pd.read_csv(
