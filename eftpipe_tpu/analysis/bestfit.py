@@ -66,3 +66,33 @@ class BestfitModel:
 
     def eft_params(self, tracer: str) -> dict:
         return self.analysis.eft_params_values_dict(tracer, self.params)
+
+    # -- synthetic data / covariance (reference bestfit_reader /
+    #    bestfit_cov_reader, reader.py:132-195) -------------------------------
+    def write_data(self, tracer: str, path, kout, binned: bool = True):
+        """Theory multipoles at the bestfit written as a data file."""
+        mp = self.multipoles(tracer, binned=binned, kout=kout if binned else None)
+        cols = [np.asarray(kout)] + [mp(ell) for ell in mp.ells]
+        header = "k " + " ".join(f"P{ell}" for ell in mp.ells)
+        np.savetxt(path, np.column_stack(cols), header=header)
+        return mp
+
+    def gaussian_covariance(self, tracer: str, kout, volume: float,
+                            shot: float = 0.0, ells=None) -> np.ndarray:
+        """Analytic Gaussian covariance around the bestfit theory (the
+        bestfit_cov_reader pattern: unwindowed multipoles + shot noise fed to
+        GaussianCovariance)."""
+        from ..likelihood.covariance import GaussianCovariance, Multipole as CovMultipole
+
+        kout = np.asarray(kout)
+        mp = self.multipoles(tracer, binned=True, kout=kout)
+        ells = list(ells or mp.ells)
+        dk = kout[1] - kout[0]
+        kedges = np.concatenate([kout - dk / 2.0, [kout[-1] + dk / 2.0]])
+        gcov = GaussianCovariance(kedges, volume=volume)
+        cmp = CovMultipole(
+            p0=mp(0) + shot,
+            p2=mp(2) if 2 in mp.ells else np.zeros_like(kout),
+            p4=mp(4) if 4 in mp.ells else None,
+        )
+        return gcov(ells, ells, "aa->aaaa", cmp)

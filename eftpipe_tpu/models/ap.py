@@ -121,15 +121,16 @@ def ap_transform(at: dict, cfg: EFTConfig, bird: BirdState, qperp, qpar) -> Bird
     leg_mup = jnp.stack([legendre_even(i, mup) for i in range(at["nlmax"])])
     coef = 1.0 / (qperp * qperp * qpar)
 
-    def tr(x):
-        return coef * _project(at, x, kp, leg_mup, dtype)
-
-    out = bird._replace(
-        p11l=tr(bird.p11l),
-        pctl=tr(bird.pctl),
-        ploopl=tr(bird.ploopl),
-        pct_nnlo_l=tr(bird.pct_nnlo_l) if cfg.with_nnlo else bird.pct_nnlo_l,
-    )
+    # one fused projection for all structure channels: the spline/one-hot
+    # work is shared instead of repeated per array
+    fields = ["p11l", "pctl", "ploopl"]
+    if cfg.with_nnlo:
+        fields.append("pct_nnlo_l")
     if at["ap_st"]:
-        out = out._replace(pstl=tr(bird.pstl))
-    return out
+        fields.append("pstl")
+    sizes = [getattr(bird, f).shape[-2] for f in fields]
+    stacked = jnp.concatenate([getattr(bird, f) for f in fields], axis=-2)
+    proj = coef * _project(at, stacked, kp, leg_mup, dtype)
+    splits = np.cumsum(sizes)[:-1]
+    parts = jnp.split(proj, splits, axis=-2)
+    return bird._replace(**dict(zip(fields, parts)))

@@ -63,6 +63,12 @@ def _load():
             dptr, ctypes.c_int64, dptr, ctypes.c_int64, dptr, ctypes.c_int64,
             dptr, ctypes.c_int64, dptr, ctypes.c_int64, dptr,
         ]
+        lib.pair_zeff.restype = ctypes.c_int
+        lib.pair_zeff.argtypes = [
+            dptr, dptr, dptr, dptr, dptr, ctypes.c_int64,
+            dptr, dptr, dptr, dptr, dptr, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int, dptr,
+        ]
         _lib = lib
         return _lib
 
@@ -92,6 +98,44 @@ def loadtxt(path) -> np.ndarray:
     finally:
         lib.free_buffer(out)
     return arr.reshape(rows.value, cols.value)
+
+
+def pair_zeff(x1, y1, z1, red1, w1, x2=None, y2=None, z2=None, red2=None,
+              w2=None, smin: float = 25.0, smax: float = 150.0):
+    """Pair-weighted (numerator, denominator) of the effective redshift over
+    a random catalogue with smin < |r_i - r_j| < smax (the numba kernel of
+    reference script/zeff.py).  Single-catalogue mode when the second set is
+    omitted.  Falls back to a chunked NumPy implementation."""
+    same = x2 is None
+    arrs1 = [np.ascontiguousarray(a, dtype=np.float64) for a in (x1, y1, z1, red1, w1)]
+    arrs2 = arrs1 if same else [
+        np.ascontiguousarray(a, dtype=np.float64) for a in (x2, y2, z2, red2, w2)
+    ]
+    lib = _load()
+    if lib is not None:
+        out = np.zeros(2)
+        lib.pair_zeff(*arrs1, arrs1[0].size, *arrs2, arrs2[0].size,
+                      smin, smax, int(same), out)
+        return out[0], out[1]
+    # NumPy fallback: chunked pairwise distances
+    X1 = np.stack(arrs1[:3], axis=1)
+    X2 = np.stack(arrs2[:3], axis=1)
+    r1, w1v = arrs1[3], arrs1[4]
+    r2, w2v = arrs2[3], arrs2[4]
+    num = den = 0.0
+    chunk = 2048
+    for i0 in range(0, X1.shape[0], chunk):
+        sl = slice(i0, i0 + chunk)
+        d2 = ((X1[sl, None, :] - X2[None, :, :]) ** 2).sum(-1)
+        mask = (d2 > smin**2) & (d2 < smax**2)
+        if same:
+            jj = np.arange(X2.shape[0])[None, :]
+            ii = np.arange(i0, min(i0 + chunk, X1.shape[0]))[:, None]
+            mask &= jj > ii
+        ww = w1v[sl, None] * w2v[None, :] * mask
+        num += float((ww * 0.5 * (r1[sl, None] + r2[None, :])).sum())
+        den += float(ww.sum())
+    return num, den
 
 
 def panel_to_ndarray(arr: np.ndarray):

@@ -106,4 +106,35 @@ int panel_scatter(const double* table, int64_t nrows,
     return 0;
 }
 
+// Pair-weighted effective redshift over randoms with a separation window
+// [smin, smax] (the numba kernel of /root/reference/script/zeff.py):
+//   zeff = sum_{pairs} w_i w_j (z_i + z_j)/2 / sum_{pairs} w_i w_j.
+// out[0] = numerator, out[1] = denominator (caller divides, so chunked calls
+// can be accumulated).  Pass same_set=1 when both inputs are the same
+// catalogue: each unordered pair is then counted once and i == j is skipped.
+int pair_zeff(const double* x1, const double* y1, const double* z1,
+              const double* red1, const double* w1, int64_t n1,
+              const double* x2, const double* y2, const double* z2,
+              const double* red2, const double* w2, int64_t n2,
+              double smin, double smax, int same_set, double* out) {
+    const double smin2 = smin * smin, smax2 = smax * smax;
+    double num = 0.0, den = 0.0;
+    for (int64_t i = 0; i < n1; ++i) {
+        const int64_t jstart = same_set ? i + 1 : 0;
+        const double xi = x1[i], yi = y1[i], zi = z1[i];
+        const double ri = red1[i], wi = w1[i];
+        for (int64_t j = jstart; j < n2; ++j) {
+            const double dx = xi - x2[j], dy = yi - y2[j], dz = zi - z2[j];
+            const double d2 = dx * dx + dy * dy + dz * dz;
+            if (d2 < smin2 || d2 > smax2) continue;
+            const double ww = wi * w2[j];
+            num += ww * 0.5 * (ri + red2[j]);
+            den += ww;
+        }
+    }
+    out[0] = num;
+    out[1] = den;
+    return 0;
+}
+
 }  // extern "C"
