@@ -113,32 +113,40 @@ class TracerPipeline:
         """Full bird pipeline; with ``with_snapshots`` also returns the
         intermediate state after each enabled stage (reference BirdSnapshot,
         pybird.py:616-632)."""
+        import jax
+
         cfg = self.cfg
         plin = inputs.plin
         f = inputs.f if self.with_rsd else jnp.zeros_like(jnp.asarray(inputs.f))
         snaps: dict[str, BirdState] = {}
-        if self.frozen is not None:
-            dtype = jnp.asarray(plin).dtype
-            out = {k: jnp.asarray(v, dtype) for k, v in self.frozen["nl_out"].items()}
-        else:
-            out = nonlinear_pscf(self.nt, cfg, plin)
-        bird = assemble_bird(self.bt, cfg, out, plin, f)
+        with jax.named_scope("nonlinear"):
+            if self.frozen is not None:
+                dtype = jnp.asarray(plin).dtype
+                out = {k: jnp.asarray(v, dtype) for k, v in self.frozen["nl_out"].items()}
+            else:
+                out = nonlinear_pscf(self.nt, cfg, plin)
+            bird = assemble_bird(self.bt, cfg, out, plin, f)
         snaps["nonlinear"] = bird
         if self.rt is not None:
             xpyp = self.frozen.get("xpyp") if self.frozen is not None else None
-            bird = resum_ps(self.rt, cfg, bird, plin, xpyp=xpyp)
+            with jax.named_scope("IRresum"):
+                bird = resum_ps(self.rt, cfg, bird, plin, xpyp=xpyp)
             snaps["IRresum"] = bird
         if self.at is not None:
-            bird = ap_transform(self.at, cfg, bird, inputs.qperp, inputs.qpar)
+            with jax.named_scope("APeffect"):
+                bird = ap_transform(self.at, cfg, bird, inputs.qperp, inputs.qpar)
             snaps["APeffect"] = bird
         if self.wt is not None:
-            bird = apply_window(self.wt, cfg, bird)
+            with jax.named_scope("window"):
+                bird = apply_window(self.wt, cfg, bird)
             snaps["window"] = bird
         if self.wmt is not None:
-            bird = apply_window_matrix(self.wmt, cfg, bird)
+            with jax.named_scope("window_matrix"):
+                bird = apply_window_matrix(self.wmt, cfg, bird)
             snaps["window_matrix"] = bird
         if self.ft is not None:
-            bird = apply_fiber(self.ft, cfg, bird)
+            with jax.named_scope("fiber"):
+                bird = apply_fiber(self.ft, cfg, bird)
             snaps["fiber"] = bird
         if with_snapshots:
             return bird, snaps

@@ -193,9 +193,18 @@ def resum_ps(rt: dict, cfg: EFTConfig, bird: BirdState, plin_kin,
     else:
         xpyp = jnp.asarray(xpyp, dtype)
 
-    ir11 = _ir_correction(rt, cfg, xpyp, bird.c11)      # (..., nl, nn, nk)
-    irct = _ir_correction(rt, cfg, xpyp, bird.cct)
-    irloop = _ir_correction(rt, cfg, xpyp, bird.cloopl)  # (..., nl, 12, nn, nk)
+    # one stacked IR-correction pass for all CF quantities: c11 / cct
+    # (/ cct_nnlo) as single channels next to the 12 loop channels, so the
+    # FFTLog and Bessel contractions run once on one big matmul-shaped batch
+    cfs = [bird.c11[..., None, :], bird.cct[..., None, :]]
+    if cfg.with_nnlo:
+        cfs.append(bird.cct_nnlo[..., None, :])
+    cfs.append(bird.cloopl)
+    irall = _ir_correction(rt, cfg, xpyp, jnp.concatenate(cfs, axis=-2))
+    nextra = 3 if cfg.with_nnlo else 2
+    ir11 = irall[..., 0, :, :]
+    irct = irall[..., 1, :, :]
+    irloop = irall[..., nextra:, :, :]
 
     q = make_q(jnp.asarray(rt["qcoef"], dtype), rt["qfmax"], bird.f)  # (..., 2, nl, nl, nn)
     q0, q1 = q[..., 0, :, :, :], q[..., 1, :, :, :]
@@ -206,7 +215,7 @@ def resum_ps(rt: dict, cfg: EFTConfig, bird: BirdState, plin_kin,
     pctl = bird.pctl + jnp.einsum("...lpn,...pnk,pi->...lik", q1, irct, lct)
     ploopl = bird.ploopl + jnp.einsum("...lpn,...pink->...lik", q1, irloop)
     if cfg.with_nnlo:
-        irct_nnlo = _ir_correction(rt, cfg, xpyp, bird.cct_nnlo)
+        irct_nnlo = irall[..., 2, :, :]
         lct_nnlo = jnp.asarray(rt["lct_nnlo"], dtype)
         pct_nnlo_l = bird.pct_nnlo_l + jnp.einsum(
             "...lpn,...pnk,pi->...lik", q1, irct_nnlo, lct_nnlo
