@@ -25,6 +25,14 @@ def main() -> None:
     dtype_flag = os.environ.get("BENCH_DTYPE", "float32")
     if dtype_flag == "float64":
         jax.config.update("jax_enable_x64", True)
+    else:
+        # default bf16-pass matmuls lose ~1e-3 relative on the loop
+        # contractions; 'high' (bf16x3) restores logp to ~1e-3 absolute of
+        # the float64 reference at a modest cost (measured on v5e)
+        jax.config.update(
+            "jax_default_matmul_precision",
+            os.environ.get("BENCH_PRECISION", "high"),
+        )
     import jax.numpy as jnp
 
     from eftpipe_tpu.api.flagship import build_flagship
@@ -42,12 +50,17 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     theta0 = model.theta0.astype(np.float64)
-    thetas = theta0[None, :] * (
-        1.0 + 1e-3 * rng.standard_normal((batch, theta0.size))
-    )
-    thetas = jnp.asarray(thetas, dtype)
+    # one distinct batch per iteration: the TPU tunnel caches identical
+    # (executable, inputs) executions, which would make repeated calls free
+    batches = [
+        jnp.asarray(
+            theta0[None, :] * (1.0 + 1e-3 * rng.standard_normal((batch, theta0.size))),
+            dtype,
+        )
+        for _ in range(iters)
+    ]
 
-    out = logp_batch(thetas)
+    out = logp_batch(batches[0])
     out.block_until_ready()  # compile + warmup
     if not bool(jnp.isfinite(out).all()):
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
@@ -55,9 +68,9 @@ def main() -> None:
         sys.exit(1)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for thetas in batches:
         out = logp_batch(thetas)
-    out.block_until_ready()
+        out.block_until_ready()
     dt = time.perf_counter() - t0
 
     n_dev = max(1, len(jax.devices()))

@@ -145,14 +145,14 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     mcf13 = _as_pair(nt["mcf13"], dtype)
     spow_pair = _as_pair(nt["spow"], dtype)
 
+    from ..ops.pallas_kernels import quad_form
+
     # ---- P-side -----------------------------------------------------------
-    # T[..., n, k] = c_n · k^{ν_n + 3/2}
+    # T[..., n, k] = c_n · k^{ν_n + 3/2};  P22_bk = Re Σ_{nm} T_nk T_mk M22_bnm
+    # — a quadratic form in the spectral coefficients; quad_form dispatches
+    # to a walker-grouped contraction under vmap (ops/pallas_kernels.py)
     t_pk = cplx.cmul((coef_pk[0][..., None], coef_pk[1][..., None]), kpow22)
-    # U[..., b, m, k] = Σ_n T_nk M22_bnm ; P22 = Re Σ_m T_mk U_bmk
-    u = cplx.ceinsum("...nk,bnm->...bmk", t_pk, m22)
-    p22 = jnp.einsum("...mk,...bmk->...bk", t_pk[0], u[0]) - jnp.einsum(
-        "...mk,...bmk->...bk", t_pk[1], u[1]
-    )
+    p22 = quad_form(t_pk[0], t_pk[1], m22[0], m22[1])
     p13_kernel = cplx.ceinsum_real("...n,nbk->...bk", coef_pk, a13)
 
     # ---- CF-side ----------------------------------------------------------
@@ -160,15 +160,27 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     cct = cplx.ceinsum_real("...n,nls->...ls", coef_cf, act)
     cct_nnlo = cplx.ceinsum_real("...n,nls->...ls", coef_cf, act_nnlo)
     # Z[..., n, s] = c_n s^{-ν_n - 3} (each factor carries the full s-power,
-    # matching the reference contraction pybird.py:1103-1125)
+    # matching the reference contraction pybird.py:1103-1125); C22/C13 are
+    # the same quadratic form, evaluated in one stacked call
     z = cplx.cmul((coef_cf[0][..., None], coef_cf[1][..., None]), spow_pair)
-    v22 = cplx.ceinsum("...ms,blnm->...blns", z, mcf22)
-    c22 = jnp.einsum("...ns,...blns->...lbs", z[0], v22[0]) - jnp.einsum(
-        "...ns,...blns->...lbs", z[1], v22[1]
+    n22b, nl = mcf22[0].shape[0], mcf22[0].shape[1]
+    n13b = mcf13[0].shape[0]
+    n_ = mcf22[0].shape[2]
+    mr_all = jnp.concatenate(
+        [mcf22[0].reshape(n22b * nl, n_, n_), mcf13[0].reshape(n13b * nl, n_, n_)]
     )
-    v13 = cplx.ceinsum("...ms,blnm->...blns", z, mcf13)
-    c13 = jnp.einsum("...ns,...blns->...lbs", z[0], v13[0]) - jnp.einsum(
-        "...ns,...blns->...lbs", z[1], v13[1]
+    mi_all = jnp.concatenate(
+        [mcf22[1].reshape(n22b * nl, n_, n_), mcf13[1].reshape(n13b * nl, n_, n_)]
+    )
+    c_all = quad_form(z[0], z[1], mr_all, mi_all)  # (..., (28+10)·nl, ns)
+    ns_ = c_all.shape[-1]
+    c22 = jnp.swapaxes(
+        c_all[..., : n22b * nl, :].reshape(c_all.shape[:-2] + (n22b, nl, ns_)),
+        -3, -2,
+    )
+    c13 = jnp.swapaxes(
+        c_all[..., n22b * nl:, :].reshape(c_all.shape[:-2] + (n13b, nl, ns_)),
+        -3, -2,
     )
 
     return dict(

@@ -1,0 +1,213 @@
+"""Pallas TPU kernels for the hot contractions.
+
+The dominant per-evaluation FLOP cost of the one-loop engine is the
+correlation-function-side double contraction (nonlinear.py, mirroring
+reference pybird.py:1103-1125):
+
+    C[b, l, s] = Re( Σ_{n,m} z_n(s) z_m(s) M[b, l, n, m] )
+
+with z a walker-dependent complex (N, S) tensor and M a constant complex
+(B, L, N, N) tensor (N = NFFT+1 = 257, S = 80, B·L ≈ 60-120).  The XLA path
+materialises the intermediate V[b, l, n, s] = Σ_m M z in HBM (~14 MB per
+walker per tracer, written + read back).  This kernel fuses the two
+contractions: each (bl-tile, walker) grid step computes the four real
+matmuls on the MXU and reduces over n in VMEM, so V never touches HBM.
+The bl-tile is the outer grid dimension, so the M tile is DMA'd once and
+reused across the whole walker batch.
+
+Use :func:`cf_contract` (auto-dispatches: Pallas on TPU when
+``EFTPIPE_TPU_PALLAS`` is not "0", XLA einsum otherwise/CPU) —
+``bench_cf_kernel.py`` measures both on real hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def cf_contract_xla(zr, zi, mr, mi):
+    """Reference XLA path: two einsums with the V intermediate.
+
+    zr/zi: (..., N, S); mr/mi: (BL, N, N) → (..., BL, S)
+    """
+    v0 = jnp.einsum("...ms,bnm->...bns", zr, mr) - jnp.einsum(
+        "...ms,bnm->...bns", zi, mi)
+    v1 = jnp.einsum("...ms,bnm->...bns", zr, mi) + jnp.einsum(
+        "...ms,bnm->...bns", zi, mr)
+    return jnp.einsum("...ns,...bns->...bs", zr, v0) - jnp.einsum(
+        "...ns,...bns->...bs", zi, v1)
+
+
+def _cf_half_kernel(m_ref, zr_ref, zi_ref, out1_ref, out2_ref):
+    """One complex part of M against both parts of z.
+
+    out1 = Σ_n zr⊙(M zr) − zi⊙(M zi),  out2 = Σ_n zr⊙(M zi) + zi⊙(M zr);
+    the caller combines C = out1(Mr) − out2(Mi).  The V intermediates live
+    only in VMEM/registers.
+    """
+    t = m_ref.shape[0]
+    zr = zr_ref[0]
+    zi = zi_ref[0]
+    # static unroll over the bl tile: (N, N) @ (N, S) dots on the MXU with
+    # the n-reduction fused on the VPU; no unaligned reshapes
+    for ti in range(t):
+        m = m_ref[ti]
+        vr = jnp.dot(m, zr, preferred_element_type=jnp.float32)
+        vi = jnp.dot(m, zi, preferred_element_type=jnp.float32)
+        out1_ref[0, ti] = jnp.sum(zr * vr - zi * vi, axis=0)
+        out2_ref[0, ti] = jnp.sum(zr * vi + zi * vr, axis=0)
+
+
+def _cf_half(m, zr, zi, tile_bl: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w, n, s = zr.shape
+    bl = m.shape[0]
+    blp = _cdiv(bl, tile_bl) * tile_bl
+    if blp != bl:
+        m = jnp.pad(m, [(0, blp - bl), (0, 0), (0, 0)])
+    grid = (blp // tile_bl, w)
+    out_shape = jax.ShapeDtypeStruct((w, blp, s), zr.dtype)
+    out_spec = pl.BlockSpec((1, tile_bl, s), lambda t, wi: (wi, t, 0),
+                            memory_space=pltpu.VMEM)
+    out1, out2 = pl.pallas_call(
+        _cf_half_kernel,
+        out_shape=(out_shape, out_shape),
+        grid=grid,
+        in_specs=[
+            # bl-tile of M is the outer grid axis: DMA'd once, reused for the
+            # whole walker batch
+            pl.BlockSpec((tile_bl, n, n), lambda t, wi: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, s), lambda t, wi: (wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, s), lambda t, wi: (wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec),
+        interpret=interpret,
+    )(m, zr, zi)
+    return out1[:, :bl, :], out2[:, :bl, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_bl", "interpret"))
+def cf_contract_pallas(zr, zi, mr, mi, tile_bl: int = 8,
+                       interpret: bool = False):
+    """Fused contraction; z may carry one leading walker axis."""
+    squeeze = zr.ndim == 2
+    if squeeze:
+        zr, zi = zr[None], zi[None]
+    out1_r, _ = _cf_half(mr, zr, zi, tile_bl, interpret)
+    _, out2_i = _cf_half(mi, zr, zi, tile_bl, interpret)
+    out = out1_r - out2_i
+    return out[0] if squeeze else out
+
+
+def cf_contract_grouped(zr, zi, mr, mi, group: int = 8):
+    """Walker-grouped contraction: concatenate ``group`` walkers' S columns
+    into one matmul RHS so the lane dimension hits a multiple of 128 with no
+    padding (S = 80 → 8·80 = 640 = 5×128; S = 50 → 400 ≈ 3.1×128).  Measured
+    on a v5e: 53.6 → 41.5 ms for the (BL=114, N=257, S=80, W=128) CF stage.
+
+    zr/zi: (W, N, S); mr/mi: (BL, N, N) → (W, BL, S)
+    """
+    w, n, s = zr.shape
+    g = max(1, min(group, w))
+    wp = _cdiv(w, g) * g
+    if wp != w:
+        pad = [(0, wp - w), (0, 0), (0, 0)]
+        zr = jnp.pad(zr, pad)
+        zi = jnp.pad(zi, pad)
+
+    def grp(z):
+        return z.reshape(wp // g, g, n, s).transpose(0, 2, 1, 3).reshape(
+            wp // g, n, g * s)
+
+    out = cf_contract_xla(grp(zr), grp(zi), mr, mi)
+    bl = mr.shape[0]
+    out = out.reshape(wp // g, bl, g, s).transpose(0, 2, 1, 3).reshape(wp, bl, s)
+    return out[:w]
+
+
+@jax.custom_batching.custom_vmap
+def _quad_form_primal(zr, zi, mr, mi):
+    return cf_contract_xla(zr, zi, mr, mi)
+
+
+@_quad_form_primal.def_vmap
+def _quad_form_vmap(axis_size, in_batched, zr, zi, mr, mi):
+    zb, _, mb, _ = in_batched
+    if mb or not zb:
+        # unusual batching pattern: fall back to the plain batched einsum
+        out = cf_contract_xla(zr, zi, mr, mi)
+        return out, True
+    return cf_contract_grouped(zr, zi, mr, mi), True
+
+
+def _bilinear(ar, ai, br, bi, mr, mi):
+    """Re(aᵀ M b) — the directional derivative building block."""
+    v0 = jnp.einsum("...ms,bnm->...bns", br, mr) - jnp.einsum(
+        "...ms,bnm->...bns", bi, mi)
+    v1 = jnp.einsum("...ms,bnm->...bns", br, mi) + jnp.einsum(
+        "...ms,bnm->...bns", bi, mr)
+    return jnp.einsum("...ns,...bns->...bs", ar, v0) - jnp.einsum(
+        "...ns,...bns->...bs", ai, v1)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=())
+def quad_form(zr, zi, mr, mi):
+    """Re(zᵀ M z) over the spectral index pair — the quadratic form behind
+    P22 (pybird.py:1074-1078) and the CF-side C22/C13 assembly
+    (pybird.py:1103-1125).  Per-evaluation signature zr/zi: (N, S),
+    mr/mi: (BL, N, N) → (BL, S).
+
+    Composition of two custom rules: under ``jax.vmap`` the primal batch
+    dispatches to the walker-grouped contraction (a layout a vmapped einsum
+    cannot express); under autodiff the custom JVP below keeps the op
+    differentiable (custom_vmap alone does not compose with grad), with a
+    tangent linear in dz so reverse mode transposes automatically."""
+    return _quad_form_primal(zr, zi, mr, mi)
+
+
+@functools.partial(quad_form.defjvp, symbolic_zeros=True)
+def _quad_form_jvp(primals, tangents):
+    zr, zi, mr, mi = primals
+    dzr, dzi, dmr, dmi = tangents
+    y = quad_form(zr, zi, mr, mi)
+    zero = jnp.zeros_like(zr)
+    dzr = zero if isinstance(dzr, jax.custom_derivatives.SymbolicZero) else dzr
+    dzi = zero if isinstance(dzi, jax.custom_derivatives.SymbolicZero) else dzi
+    dy = _bilinear(dzr, dzi, zr, zi, mr, mi) + _bilinear(zr, zi, dzr, dzi, mr, mi)
+    if not isinstance(dmr, jax.custom_derivatives.SymbolicZero) or not isinstance(
+        dmi, jax.custom_derivatives.SymbolicZero
+    ):
+        mzero = jnp.zeros_like(mr)
+        dmr = mzero if isinstance(dmr, jax.custom_derivatives.SymbolicZero) else dmr
+        dmi = mzero if isinstance(dmi, jax.custom_derivatives.SymbolicZero) else dmi
+        dy = dy + cf_contract_xla(zr, zi, dmr, dmi)
+    return y, dy
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get("EFTPIPE_TPU_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def cf_contract(zr, zi, mr, mi):
+    """Dispatch: fused Pallas kernel on TPU, XLA einsums elsewhere."""
+    if pallas_enabled():
+        return cf_contract_pallas(zr, zi, mr, mi)
+    return cf_contract_xla(zr, zi, mr, mi)
