@@ -21,3 +21,26 @@ implementation where available.
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "EFTModel": "eftpipe_tpu.api.model",
+    "Analysis": "eftpipe_tpu.api.orchestrate",
+    "EFTConfig": "eftpipe_tpu.models.config",
+    "TracerPipeline": "eftpipe_tpu.models.pipeline",
+    "CosmoInputs": "eftpipe_tpu.models.pipeline",
+    "EFTLikelihood": "eftpipe_tpu.likelihood.likelihood",
+    "EnsembleSampler": "eftpipe_tpu.parallel.sampler",
+    "MCMCDriver": "eftpipe_tpu.parallel.mcmc",
+    "PlkInterpolator": "eftpipe_tpu.api.products",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["__version__", *sorted(_LAZY)]

@@ -1,0 +1,184 @@
+"""On-device Hamiltonian Monte Carlo with warmup adaptation.
+
+The reference samples with Cobaya's Metropolis MCMC — gradient-free, because
+its theory code is NumPy.  Here the whole posterior is differentiable JAX, so
+gradient-based sampling comes for free: a vmapped HMC with leapfrog
+integration under ``lax.scan``, dual-averaging step-size adaptation to a
+target acceptance rate and diagonal mass-matrix estimation during warmup.
+Many chains run as one jit-compiled program; the chain axis shards over the
+device mesh exactly like the ensemble walkers (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple
+
+
+class HMCState(NamedTuple):
+    q: jnp.ndarray          # (nchains, ndim) positions
+    logp: jnp.ndarray       # (nchains,)
+    grad: jnp.ndarray       # (nchains, ndim)
+
+
+class DAState(NamedTuple):
+    """Dual-averaging state (Hoffman & Gelman 2014, Algorithm 5)."""
+
+    log_eps: jnp.ndarray
+    log_eps_avg: jnp.ndarray
+    h_avg: jnp.ndarray
+    t: jnp.ndarray
+
+
+def _leapfrog(logp_grad_fn, q, p, grad, eps, inv_mass, n_steps: int):
+    """n_steps leapfrog updates; eps may be per-chain (nchains, 1)."""
+
+    def step(carry, _):
+        q, p, grad = carry
+        p = p + 0.5 * eps * grad
+        q = q + eps * inv_mass * p
+        _, grad = logp_grad_fn(q)
+        p = p + 0.5 * eps * grad
+        return (q, p, grad), None
+
+    (q, p, grad), _ = jax.lax.scan(step, (q, p, grad), None, length=n_steps)
+    return q, p, grad
+
+
+@dataclass(eq=False)
+class HMC:
+    """Fixed-path-length HMC, vmapped over chains.
+
+    Parameters
+    ----------
+    logp : scalar log-posterior (jit/grad-able)
+    n_leapfrog : leapfrog steps per proposal
+    target_accept : dual-averaging target during warmup
+    """
+
+    logp: Callable
+    ndim: int
+    n_leapfrog: int = 16
+    target_accept: float = 0.8
+    jitter: float = 0.1  # uniform step-size jitter to decorrelate paths
+
+    def __post_init__(self):
+        def lp_and_grad(q):
+            return jax.value_and_grad(self.logp)(q)
+
+        self._lpg = jax.vmap(lp_and_grad)
+
+    # -- one transition -----------------------------------------------------
+    def _transition(self, key, state: HMCState, eps, inv_mass):
+        nchains, ndim = state.q.shape
+        k_mom, k_acc, k_jit = jax.random.split(key, 3)
+        sigma = jnp.sqrt(1.0 / inv_mass)
+        p0 = jax.random.normal(k_mom, state.q.shape, state.q.dtype) * sigma
+        u = jax.random.uniform(k_jit, (nchains, 1), state.q.dtype,
+                               1.0 - self.jitter, 1.0 + self.jitter)
+        eps_c = eps * u
+        q, p, grad = _leapfrog(self._lpg, state.q, p0, state.grad, eps_c,
+                               inv_mass, self.n_leapfrog)
+        logp_new, grad_new = self._lpg(q)
+        ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0, axis=-1)
+        ke1 = 0.5 * jnp.sum(inv_mass * p * p, axis=-1)
+        log_alpha = (logp_new - ke1) - (state.logp - ke0)
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        accept_prob = jnp.minimum(1.0, jnp.exp(log_alpha))
+        accept = (
+            jnp.log(jax.random.uniform(k_acc, (nchains,), state.q.dtype))
+            < log_alpha
+        )
+        new = HMCState(
+            q=jnp.where(accept[:, None], q, state.q),
+            logp=jnp.where(accept, logp_new, state.logp),
+            grad=jnp.where(accept[:, None], grad_new, state.grad),
+        )
+        return new, accept_prob
+
+    # -- dual averaging -------------------------------------------------------
+    def _da_init(self, eps0):
+        return DAState(
+            log_eps=jnp.log(eps0),
+            log_eps_avg=jnp.log(eps0),
+            h_avg=jnp.zeros_like(eps0),
+            t=jnp.zeros_like(eps0),
+        )
+
+    def _da_update(self, da: DAState, accept_prob, mu):
+        gamma, t0, kappa = 0.05, 10.0, 0.75
+        t = da.t + 1.0
+        h = jnp.mean(self.target_accept - accept_prob)
+        h_avg = (1.0 - 1.0 / (t + t0)) * da.h_avg + h / (t + t0)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_avg
+        w = t ** (-kappa)
+        log_eps_avg = w * log_eps + (1.0 - w) * da.log_eps_avg
+        return DAState(log_eps=log_eps, log_eps_avg=log_eps_avg,
+                       h_avg=h_avg, t=t)
+
+    # -- drivers --------------------------------------------------------------
+    def _da_phase(self, key, state, eps0, inv_mass, n_steps: int):
+        """One dual-averaging phase at fixed mass; returns averaged eps."""
+        mu = jnp.log(10.0 * eps0)
+        da = self._da_init(eps0)
+
+        def step(carry, k):
+            state, da = carry
+            state, acc = self._transition(k, state, jnp.exp(da.log_eps), inv_mass)
+            da = self._da_update(da, acc, mu)
+            return (state, da), (state.q, acc)
+
+        keys = jax.random.split(key, n_steps)
+        (state, da), (qs, accs) = jax.lax.scan(step, (state, da), keys)
+        return state, jnp.exp(da.log_eps_avg), qs, accs
+
+    @partial(jax.jit, static_argnames=("self", "n_warmup"))
+    def warmup(self, key, q0, n_warmup: int = 300, eps0: float = 0.01):
+        """Two-phase warmup (Stan-style windows): dual-averaging at unit
+        mass, diagonal mass estimation from those draws, then a second
+        dual-averaging phase at the adapted mass — the step size must be
+        re-tuned once the metric changes."""
+        q0 = jnp.asarray(q0)
+        logp0, grad0 = self._lpg(q0)
+        state = HMCState(q=q0, logp=logp0, grad=grad0)
+        eps0 = jnp.asarray(eps0, q0.dtype)
+        k1, k2 = jax.random.split(key)
+        n1 = n_warmup // 2
+        n2 = n_warmup - n1
+
+        inv_mass = jnp.ones((self.ndim,), q0.dtype)
+        state, eps1, qs, _ = self._da_phase(k1, state, eps0, inv_mass, n1)
+        var = jnp.var(qs[n1 // 2:].reshape(-1, self.ndim), axis=0) + 1e-12
+        inv_mass = 1.0 / var
+        state, eps, _, accs = self._da_phase(k2, state, eps1, inv_mass, n2)
+        return state, eps, inv_mass, jnp.mean(accs)
+
+    @partial(jax.jit, static_argnames=("self", "n_samples", "thin"))
+    def run(self, key, state: HMCState, eps, inv_mass, n_samples: int,
+            thin: int = 1):
+        def step(carry, k):
+            st, _ = carry
+            st, acc = self._transition(k, st, eps, inv_mass)
+            return (st, acc), (st.q, st.logp, acc)
+
+        keys = jax.random.split(key, n_samples)
+        (state, _), (chain, logps, accs) = jax.lax.scan(
+            step, (state, jnp.zeros(state.q.shape[0])), keys
+        )
+        return chain[::thin], logps[::thin], jnp.mean(accs)
+
+    def sample(self, key: int | jax.Array, q0, n_warmup: int = 300,
+               n_samples: int = 1000, eps0: float = 0.01, thin: int = 1):
+        """Convenience: warmup + sampling; returns (chain, logps, info)."""
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        k1, k2 = jax.random.split(key)
+        state, eps, inv_mass, acc_w = self.warmup(k1, q0, n_warmup, eps0)
+        chain, logps, acc = self.run(k2, state, eps, inv_mass, n_samples, thin)
+        info = dict(eps=float(jnp.mean(eps)), accept_warmup=float(acc_w),
+                    accept=float(acc), inv_mass=np.asarray(inv_mass))
+        return np.asarray(chain), np.asarray(logps), info

@@ -72,6 +72,39 @@ def _install_ref_package() -> None:
     sys.modules["ref_eftpipe"] = pkg
 
 
+def _patch_scipy_compat() -> None:
+    """The reference uses scipy.interpolate.interp2d (removed in SciPy 1.14,
+    eftpipe/fftlog2d.py) — provide a RectBivariateSpline-backed shim so the
+    oracle can run on the installed SciPy."""
+    import numpy as np
+    import scipy.interpolate as si
+
+    try:
+        si.interp2d(np.arange(4.0), np.arange(4.0), np.zeros((4, 4)))
+        return  # old scipy: native interp2d still works
+    except NotImplementedError:
+        pass
+    except Exception:
+        return
+
+    class _Interp2dShim:
+        def __init__(self, x, y, z, kind="linear", copy=True,
+                     bounds_error=False, fill_value=None):
+            from scipy.interpolate import RectBivariateSpline
+
+            k = {"linear": 1, "cubic": 3, "quintic": 5}[kind]
+            # interp2d: z indexed (y, x); RectBivariateSpline: z indexed (x, y)
+            self._sp = RectBivariateSpline(
+                np.asarray(y), np.asarray(x), np.asarray(z), kx=k, ky=k
+            )
+
+        def __call__(self, x, y):
+            out = self._sp(np.atleast_1d(y), np.atleast_1d(x))
+            return out
+
+    si.interp2d = _Interp2dShim
+
+
 def reference_available() -> bool:
     return (REFERENCE_ROOT / "eftpipe" / "pybird" / "pybird.py").exists()
 
@@ -84,5 +117,6 @@ def load_reference(module: str):
     if not reference_available():
         pytest.skip("reference implementation not available")
     _install_cobaya_stub()
+    _patch_scipy_compat()
     _install_ref_package()
     return importlib.import_module(f"ref_eftpipe.{module}")
