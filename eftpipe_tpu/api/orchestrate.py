@@ -451,8 +451,11 @@ class Analysis:
     # -- derived parameters (reference theory.py:611-648, likelihood.py:587-612)
     def derived_names(self) -> list[str]:
         names = []
-        for t in self.pipelines:
-            names += [f"{t}_fz", f"{t}_alperp", f"{t}_alpara"]
+        for t, prov in self.providers.items():
+            if hasattr(prov, "derived"):
+                names += [f"{t}_fz", f"{t}_fsigma8_z", f"{t}_alperp", f"{t}_alpara"]
+            else:
+                names += [f"{t}_fz", f"{t}_alperp", f"{t}_alpara"]
         if self.like is not None:
             names += ["chi2", "fullchi2"]
         return names
@@ -462,11 +465,18 @@ class Analysis:
         theta = jnp.asarray(theta, self.dtype)
         params = self.params_dict(theta)
         vals = []
-        for t in self.pipelines:
-            ci = self.providers[t].inputs(params)
-            vals += [jnp.asarray(ci.f, self.dtype),
-                     jnp.asarray(ci.qperp, self.dtype),
-                     jnp.asarray(ci.qpar, self.dtype)]
+        for t, prov in self.providers.items():
+            if hasattr(prov, "derived"):
+                d = prov.derived(params)
+                vals += [jnp.asarray(d["fz"], self.dtype),
+                         jnp.asarray(d["fsigma8_z"], self.dtype),
+                         jnp.asarray(d["alperp"], self.dtype),
+                         jnp.asarray(d["alpara"], self.dtype)]
+            else:
+                ci = prov.inputs(params)
+                vals += [jnp.asarray(ci.f, self.dtype),
+                         jnp.asarray(ci.qperp, self.dtype),
+                         jnp.asarray(ci.qpar, self.dtype)]
         if self.like is not None:
             res = self.loglike(theta)
             vals += [res["chi2"], res["fullchi2"]]

@@ -144,6 +144,15 @@ def eh98_pk(cfg_kin_h, omega_b, omega_cdm, h, ln10as, ns, z):
     return pk_h, f, e, da, s
 
 
+def sigma_r(kh, pk, r: float = 8.0):
+    """σ(R) from P(k) on a log-spaced grid [h/Mpc, (Mpc/h)³] via the
+    top-hat-window integral σ² = ∫ dk k² P W²(kR) / 2π²."""
+    x = kh * r
+    w = 3.0 * (jnp.sin(x) - x * jnp.cos(x)) / x**3
+    integ = kh**3 * pk * w * w / (2.0 * np.pi**2)
+    return jnp.sqrt(jnp.trapezoid(integ, jnp.log(kh)))
+
+
 @dataclass
 class EisensteinHuProvider:
     """On-device cosmology provider for a tracer at effective redshift z."""
@@ -153,21 +162,39 @@ class EisensteinHuProvider:
     da_fid: float | None = None  # dimensionless H0·DA of the fiducial cosmology
     h_fid: float | None = None   # dimensionless H/H0 of the fiducial cosmology
     use_ap: bool = True
+    rdrag_fid: float | None = None  # Mpc: enables the rdrag·h-rescaled α's
+    h0_fid: float | None = None     # H0/100 of the fiducial cosmology
+
+    def _background(self, params):
+        kin = jnp.asarray(self.cfg.kin)
+        return eh98_pk(
+            kin, params["omega_b"], params["omega_cdm"], params["h"],
+            params["ln10As"], params["ns"], self.zeff,
+        )
 
     def inputs(self, params) -> CosmoInputs:
-        kin = jnp.asarray(self.cfg.kin)
-        pk, f, e, da, _ = eh98_pk(
-            kin,
-            params["omega_b"],
-            params["omega_cdm"],
-            params["h"],
-            params["ln10As"],
-            params["ns"],
-            self.zeff,
-        )
+        pk, f, e, da, _ = self._background(params)
         if self.use_ap and self.da_fid is not None:
             qperp = da / self.da_fid
             qpar = self.h_fid / e
         else:
             qperp = qpar = 1.0
         return CosmoInputs(plin=pk, f=f, qperp=qperp, qpar=qpar)
+
+    def derived(self, params) -> dict:
+        """Chain columns (reference theory.py:611-648): fz, fsigma8_z and
+        α⊥/α∥ — rescaled by (rdrag_fid·h0_fid)/(rdrag·h) when the fiducial
+        sound horizon is configured (pybird.py:1564-1579), else = q's."""
+        pk, f, e, da, rdrag = self._background(params)
+        s8z = sigma_r(jnp.asarray(self.cfg.kin), pk)
+        if self.use_ap and self.da_fid is not None:
+            qperp = da / self.da_fid
+            qpar = self.h_fid / e
+        else:
+            qperp = qpar = jnp.asarray(1.0, pk.dtype)
+        if self.rdrag_fid is not None and self.h0_fid is not None:
+            ratio = (self.rdrag_fid * self.h0_fid) / (rdrag * params["h"])
+            alperp, alpara = qperp * ratio, qpar * ratio
+        else:
+            alperp, alpara = qperp, qpar
+        return dict(fz=f, fsigma8_z=f * s8z, alperp=alperp, alpara=alpara)
