@@ -166,10 +166,11 @@ def build_tracer(
     ap = _plugin_opts(
         tcfg.get("with_APeffect"),
         Om_AP="om_ap", z_AP="z_ap", rdrag_AP="rdrag_ap", h_AP="hubble_ap",
+        APst="ap_st",
     )
     window = _plugin_opts(tcfg.get("with_window"), Nmax="nmax")
-    icc = _plugin_opts(tcfg.get("with_icc"))
-    fiber = _plugin_opts(tcfg.get("with_fiber"))
+    icc = _plugin_opts(tcfg.get("with_icc"), Pshot="pshot")
+    fiber = _plugin_opts(tcfg.get("with_fiber"), Dfc="dfc", fiberst="fiber_st")
 
     pipe = TracerPipeline.build(
         cfg,
@@ -183,11 +184,15 @@ def build_tracer(
         cache_dir=cache_dir,
     )
 
+    prefix = tcfg.get("prefix", name + "_")
     if cross_partners is not None:
-        prefixes = [p + "_" for p in tcfg["cross"]]
-        basis = basis_cls(prefix=name + "_", cross_prefix=prefixes)
+        prefixes = [
+            p.get("prefix", n + "_")
+            for n, p in zip(tcfg["cross"], cross_partners)
+        ]
+        basis = basis_cls(prefix=prefix, cross_prefix=prefixes)
     else:
-        basis = basis_cls(prefix=name + "_")
+        basis = basis_cls(prefix=prefix)
 
     provider = build_provider(tcfg.get("boltzmann", {"name": "eh98"}), cfg, zeff)
     return cfg, pipe, provider, basis

@@ -1,0 +1,217 @@
+"""Convert a reference-style Cobaya YAML into this framework's config.
+
+The reference is driven by Cobaya: an ``eftpipe.eftlss`` theory block with
+per-tracer sub-dicts, one or more ``eftpipe.eftlike`` likelihood blocks and a
+Cobaya ``params`` block (/root/reference/tests/yamls/*.yaml are the canonical
+examples).  ``convert_cobaya_config`` maps all of that onto the
+:mod:`eftpipe_tpu.api.orchestrate` schema so existing run configs migrate
+with one call::
+
+    from eftpipe_tpu.compat import convert_cobaya_config
+    from eftpipe_tpu.api.orchestrate import Analysis
+
+    info = convert_cobaya_config("mock_eBOSS_LRG_ELG_NGC_all_like.yaml")
+    an = Analysis.from_config(info)
+
+What is translated
+------------------
+* tracer blocks: z/km/kr/nd/basis/prefix/cross, the ``with_X`` switches
+  merged with their ``X:`` option dicts (APeffect, window incl.
+  window_fourier_file, icc, fiber with Dfc→dfc renames), with_NNLO/with_RSD
+* likelihood blocks: data paths + ls/kmin/kmax masks, cov (path/rescale/
+  Nreal → Hartlap), chained (scalar/list/dict), with_binning, marg, jeffreys
+* params: Cobaya priors/refs; the standard cosmology renames
+  omegabh2→omega_b, omegach2→omega_cdm, H0→h (values ÷100), logA→ln10As;
+  ``value:`` floats become fixed params; latex-only (derived) entries and
+  lambda-valued entries are dropped with a warning
+
+What is NOT translated
+----------------------
+* the Boltzmann provider: CLASS/CAMB are host codes; the converted config
+  defaults to the on-device EH98 provider (pass ``boltzmann=...`` to
+  override with fixed_template / tabulated / emulator / a bridge)
+* sampler settings (use Analysis.run_mcmc / parallel.hmc)
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+from pathlib import Path
+from typing import Any, Mapping
+
+COSMO_RENAMES = {
+    "omegabh2": "omega_b",
+    "ombh2": "omega_b",
+    "omegach2": "omega_cdm",
+    "omch2": "omega_cdm",
+    "logA": "ln10As",
+    "nns": "ns",
+}
+
+_PLUGINS = ("IRresum", "APeffect", "window", "icc", "fiber")
+
+
+def _load(src) -> dict:
+    if isinstance(src, Mapping):
+        return copy.deepcopy(dict(src))
+    import yaml
+
+    with open(src) as f:
+        return yaml.safe_load(f)
+
+
+def _convert_tracer(tcfg: Mapping[str, Any]) -> dict:
+    out: dict[str, Any] = {}
+    for key in ("z", "km", "kr", "nd", "basis", "prefix", "cross",
+                "with_NNLO", "with_RSD"):
+        if key in tcfg:
+            out[key] = copy.deepcopy(tcfg[key])
+    for plug in _PLUGINS:
+        flag = tcfg.get(f"with_{plug}")
+        opts = tcfg.get(plug)
+        if flag is None and opts is None:
+            continue
+        if flag is False:
+            out[f"with_{plug}"] = False
+        elif opts is not None:
+            out[f"with_{plug}"] = dict(opts)
+        else:
+            out[f"with_{plug}"] = bool(flag)
+    # provider: host Boltzmann codes are replaced by the on-device default;
+    # callers may override through convert_cobaya_config(boltzmann=...)
+    return out
+
+
+def _convert_params(params: Mapping[str, Any]) -> dict:
+    out: dict[str, Any] = {}
+    for name, spec in (params or {}).items():
+        new = COSMO_RENAMES.get(name, name)
+        scale = 0.01 if name == "H0" else 1.0
+        if name == "H0":
+            new = "h"
+        if not isinstance(spec, Mapping):
+            if isinstance(spec, str):
+                warnings.warn(f"dropping lambda-valued param {name!r}")
+                continue
+            out[new] = float(spec) * scale
+            continue
+        if "prior" in spec:
+            prior = dict(spec["prior"])
+            if "min" in prior:
+                prior = {"min": float(prior["min"]) * scale,
+                         "max": float(prior["max"]) * scale}
+            elif prior.get("dist") == "norm":
+                prior = {"dist": "norm", "loc": float(prior["loc"]) * scale,
+                         "scale": float(prior["scale"]) * scale}
+            entry: dict[str, Any] = {"prior": prior}
+            if "ref" in spec:
+                ref = spec["ref"]
+                ref = ref.get("loc") if isinstance(ref, Mapping) else ref
+                entry["ref"] = float(ref) * scale
+            out[new] = entry
+        elif "value" in spec:
+            v = spec["value"]
+            if isinstance(v, str):
+                warnings.warn(f"dropping lambda-valued param {name!r}")
+                continue
+            out[new] = float(v) * scale
+        else:
+            # latex-only: a Cobaya derived parameter — not sampled here
+            continue
+    return out
+
+
+def convert_cobaya_config(src, data_root=None, boltzmann: Mapping | None = None,
+                          cache_dir=None) -> dict:
+    """Reference Cobaya YAML (path or dict) → orchestrate-schema dict.
+
+    data_root: base directory for the relative data/window/cov paths in the
+    original config (the reference resolves them against the cobaya/ cwd).
+    """
+    info = _load(src)
+    root = Path(data_root) if data_root is not None else None
+
+    def fix_path(x):
+        if root is not None and isinstance(x, (str, Path)):
+            p = Path(x)
+            return str(p if p.is_absolute() else root / p)
+        return str(x) if isinstance(x, Path) else x
+
+    # ---- theory ---------------------------------------------------------
+    theory_block = None
+    for key, val in (info.get("theory") or {}).items():
+        if key.endswith("eftlss") and isinstance(val, Mapping):
+            theory_block = val
+            break
+    if theory_block is None:
+        raise ValueError("no eftpipe.eftlss theory block found")
+    tracers = {
+        name: _convert_tracer(tcfg or {})
+        for name, tcfg in (theory_block.get("tracers") or {}).items()
+    }
+    for tcfg in tracers.values():
+        for plug in ("with_window", "with_icc"):
+            opts = tcfg.get(plug)
+            if isinstance(opts, Mapping):
+                for pk in ("window_fourier_file", "window_configspace_file",
+                           "icc_configspace_SN_file", "icc_configspace_IC_file"):
+                    if pk in opts:
+                        opts[pk.replace("SN_file", "sn_file").replace(
+                            "IC_file", "ic_file")] = fix_path(opts.pop(pk))
+        if boltzmann is not None:
+            tcfg["boltzmann"] = dict(boltzmann)
+
+    out: dict[str, Any] = {
+        "theory": {
+            "cache_dir": cache_dir or theory_block.get("cache_dir_path"),
+            "tracers": tracers,
+        }
+    }
+
+    # ---- likelihood -----------------------------------------------------
+    like_blocks = []
+    for name, val in (info.get("likelihood") or {}).items():
+        if isinstance(val, Mapping) and ("tracers" in val and "data" in val):
+            like_blocks.append((name, val))
+    if len(like_blocks) > 1:
+        raise NotImplementedError(
+            "multiple eftlike blocks are not supported in one Analysis; "
+            "convert them separately"
+        )
+    if like_blocks:
+        _, lk = like_blocks[0]
+        data = {}
+        for t, d in (lk.get("data") or {}).items():
+            d = dict(d)
+            d["path"] = fix_path(d["path"])
+            data[t] = d
+        cov = lk.get("cov")
+        if isinstance(cov, Mapping):
+            cov = dict(cov)
+            cov["path"] = (
+                [fix_path(p) for p in cov["path"]]
+                if isinstance(cov["path"], (list, tuple))
+                else fix_path(cov["path"])
+            )
+        else:
+            cov = fix_path(cov)
+        order = list(lk.get("tracers") or data)
+        chained = lk.get("chained", False)
+        if isinstance(chained, (list, tuple)):
+            chained = dict(zip(order, chained))
+        binned = lk.get("with_binning", lk.get("binned", True))
+        if isinstance(binned, (list, tuple)):
+            binned = dict(zip(order, binned))
+        out["likelihood"] = {
+            "tracers": order,
+            "data": data,
+            "cov": cov,
+            "chained": chained,
+            "binned": binned,
+            "marg": lk.get("marg"),
+            "jeffreys": bool(lk.get("jeffreys", False)),
+        }
+
+    out["params"] = _convert_params(info.get("params"))
+    return out

@@ -29,6 +29,11 @@ from scipy.special import spherical_jn
 from ..ops.fftlog import HostFFTLog
 from ..ops.interp import spline_matrix
 from ..tables.loop_matrices import mpc
+
+
+class MetaInfoError(Exception):
+    """Cached/loaded window artifact inconsistent with the current settings
+    (reference window.py:36)."""
 from ..utils.io import atomic_save_npz
 from .config import EFTConfig
 from .bird import BirdState
@@ -128,6 +133,7 @@ def mask_and_weight(cfg: EFTConfig, wal: np.ndarray, p: np.ndarray,
 def build_window_tables(
     cfg: EFTConfig,
     window_configspace_file=None,
+    window_fourier_file=None,
     cache_dir=None,
     na: int | None = None,
     nl: int | None = None,
@@ -163,7 +169,21 @@ def build_window_tables(
     )
     wal = None
     cache_path = None
-    if cache_dir is not None:
+    if window_fourier_file is not None:
+        # reference-format precomputed Fourier matrix: a raw .npy of
+        # Wal[a, l, k, p] (window.py:204-260), with the Nl-suffix retry
+        wf = Path(window_fourier_file)
+        if wf.exists():
+            wal = np.load(wf)
+            if wal.shape[1] != nl:
+                retry = wf.with_name(wf.stem + f"_Nl{nl}.npy")
+                wal = np.load(retry) if retry.exists() else None
+        if wal is not None and wal.shape[:2] != (na, nl):
+            raise MetaInfoError(
+                f"window fourier matrix shape {wal.shape} does not match "
+                f"(na, nl) = ({na}, {nl})"
+            )
+    if wal is None and cache_dir is not None:
         key = hashlib.sha256(json.dumps(meta, sort_keys=True).encode()).hexdigest()[:16]
         cache_path = Path(cache_dir) / f"window_{key}.npz"
         if cache_path.exists():

@@ -75,3 +75,27 @@ def test_window_cache_roundtrip(tmp_path):
     assert list(tmp_path.glob("window_*.npz"))
     wt2 = build_window_tables(cfg, window_configspace_file=WIN_FILE, cache_dir=tmp_path, nmax=512)
     np.testing.assert_allclose(wt1["wal"], wt2["wal"], rtol=0, atol=0)
+
+
+def test_window_fourier_file_roundtrip(tmp_path, our_window):
+    """A reference-format .npy Fourier matrix loads directly and reproduces
+    the computed tables (window.py:204-260 load path + Nl-suffix retry)."""
+    from eftpipe_tpu.models.window import build_window_tables, MetaInfoError
+    import pytest as _pytest
+
+    wt, cfg = our_window
+    np.save(tmp_path / "wal.npy", wt["wal"])
+    wt2 = build_window_tables(cfg, window_fourier_file=tmp_path / "wal.npy")
+    np.testing.assert_allclose(wt2["wmat"], wt["wmat"], rtol=1e-12)
+
+    # Nl-suffix retry: primary file has the wrong Nl -> _Nl<2> file is used
+    wrong = np.zeros((wt["wal"].shape[0], wt["wal"].shape[1] + 1) + wt["wal"].shape[2:])
+    np.save(tmp_path / "w2.npy", wrong)
+    np.save(tmp_path / f"w2_Nl{cfg.nl}.npy", wt["wal"])
+    wt3 = build_window_tables(cfg, window_fourier_file=tmp_path / "w2.npy")
+    np.testing.assert_allclose(wt3["wmat"], wt["wmat"], rtol=1e-12)
+
+    # inconsistent (na, nl) raises
+    np.save(tmp_path / "bad.npy", wt["wal"][:1])
+    with _pytest.raises(MetaInfoError, match="does not match"):
+        build_window_tables(cfg, window_fourier_file=tmp_path / "bad.npy")
