@@ -39,13 +39,19 @@ class BestfitModel:
         self.params = dict(space.fixed)
         for i, p in enumerate(space.sampled):
             self.params[p] = float(self.theta[i])
-        like = self.analysis.like
-        if like is not None and like.marginal is not None:
-            # restore the marginalized parameters: bG = F2⁻¹ F1
+        likes = getattr(self.analysis, "likes", None) or (
+            {"like": self.analysis.like} if self.analysis.like is not None else {}
+        )
+        if any(lk.marginal is not None for lk in likes.values()):
+            # restore the marginalized parameters: bG = F2⁻¹ F1 (per block)
             res = jax.jit(self.analysis.loglike)(jnp.asarray(self.theta))
-            bg = np.asarray(res["bg_bestfit"])
-            for name, value in zip(like.marginal.names, bg):
-                self.params[name] = float(value)
+            blocks = res.get("blocks", {"like": res})
+            for name, lk in likes.items():
+                if lk.marginal is None:
+                    continue
+                bg = np.asarray(blocks[name]["bg_bestfit"])
+                for pname, value in zip(lk.marginal.names, bg):
+                    self.params[pname] = float(value)
 
     # -- evaluation -----------------------------------------------------------
     def multipoles(self, tracer: str, chained: bool = False,
@@ -62,7 +68,11 @@ class BestfitModel:
 
     def chi2(self) -> dict:
         res = jax.jit(self.analysis.loglike)(jnp.asarray(self.theta))
-        return {k: float(v) for k, v in res.items() if np.ndim(v) == 0}
+        return {
+            k: float(v)
+            for k, v in res.items()
+            if not isinstance(v, dict) and np.ndim(v) == 0
+        }
 
     def eft_params(self, tracer: str) -> dict:
         return self.analysis.eft_params_values_dict(tracer, self.params)

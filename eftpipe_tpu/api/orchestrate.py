@@ -168,6 +168,9 @@ def build_tracer(
         Om_AP="om_ap", z_AP="z_ap", rdrag_AP="rdrag_ap", h_AP="hubble_ap",
         APst="ap_st",
     )
+    if ap is not None and "da_fid" not in ap:
+        # the fiducial AP redshift defaults to the tracer's z (theory.py:363-364)
+        ap.setdefault("z_ap", zeff)
     window = _plugin_opts(tcfg.get("with_window"), Nmax="nmax")
     icc = _plugin_opts(tcfg.get("with_icc"), Pshot="pshot")
     fiber = _plugin_opts(tcfg.get("with_fiber"), Dfc="dfc", fiberst="fiber_st")
@@ -297,14 +300,53 @@ class Analysis:
     like: EFTLikelihood | None
     space: ParamSpace
     dtype: Any = jnp.float64
+    likes: dict[str, EFTLikelihood] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.likes and self.like is not None:
+            self.likes = {"like": self.like}
 
     # -- construction ---------------------------------------------------
     @classmethod
-    def from_config(cls, src, dtype=jnp.float64) -> "Analysis":
+    def from_config(cls, src, dtype=None) -> "Analysis":
+        if dtype is None:
+            # float64 when x64 is enabled (parity/testing), float32 otherwise
+            # (TPU production) — avoids silent-truncation warning spam
+            dtype = jnp.asarray(0.0).dtype
         info = load_config(src)
         theory = info.get("theory", {})
         cache_dir = theory.get("cache_dir")
         tracer_cfgs = merge_tracer_configs(theory.get("tracers", {}))
+
+        # likelihood: one block, or a dict of independent named blocks (the
+        # reference's production configs run NGC and SGC as two eftlike
+        # blocks whose log-likelihoods add)
+        lk = info.get("likelihood")
+        if lk and "data" in lk:
+            blocks = {"like": lk}
+        else:
+            blocks = dict(lk or {})
+
+        def per_tracer(x, name, default):
+            if isinstance(x, Mapping):
+                return x.get(name, default)
+            if isinstance(x, (list, tuple)):
+                raise ValueError("per-tracer lists must be converted to dicts")
+            return x
+
+        # requirement negotiation (reference theory.py:500-555): a chained
+        # product needs internal multipoles up to l_max + 2
+        for block in blocks.values():
+            order = block.get("tracers", list(block.get("data", {})))
+            chained = block.get("chained", False)
+            for name in order:
+                if not per_tracer(chained, name, False):
+                    continue
+                data_ls = block["data"][name]["ls"]
+                need = max(data_ls) + 2
+                have = max(tracer_cfgs[name].get("ls", [0, 2]))
+                if need > have:
+                    tracer_cfgs[name]["ls"] = list(range(0, need + 1, 2))
 
         configs, pipelines, providers, bases = {}, {}, {}, {}
         for name, tcfg in tracer_cfgs.items():
@@ -318,36 +360,30 @@ class Analysis:
             configs[name], pipelines[name] = cfg, pipe
             providers[name], bases[name] = provider, basis
 
-        like = None
-        lk = info.get("likelihood")
-        if lk:
-            order = lk.get("tracers", list(tracer_cfgs))
-            chained = lk.get("chained", False)
-            binned = lk.get("binned", True)
-            binning = lk.get("binning", {})
-
-            def per_tracer(x, name, default):
-                if isinstance(x, Mapping):
-                    return x.get(name, default)
-                return x
-
+        likes: dict[str, EFTLikelihood] = {}
+        for block_name, block in blocks.items():
+            order = block.get("tracers", list(block["data"]))
+            chained = block.get("chained", False)
+            binned = block.get("binned", True)
+            binning = block.get("binning", {})
             specs = {}
             for name in order:
                 specs[name] = TracerSpec(
                     pipeline=pipelines[name],
                     basis=bases[name],
-                    data=dict(lk["data"][name]),
+                    data=dict(block["data"][name]),
                     chained=bool(per_tracer(chained, name, False)),
                     with_binning=bool(per_tracer(binned, name, True)),
                     with_interp=not bool(per_tracer(binned, name, True)),
                     binning=dict(per_tracer(binning, name, {}) or {}),
                 )
-            like = EFTLikelihood(
+            likes[block_name] = EFTLikelihood(
                 tracers=specs,
-                cov=lk["cov"],
-                marg=lk.get("marg"),
-                jeffreys=bool(lk.get("jeffreys", False)),
+                cov=block["cov"],
+                marg=block.get("marg"),
+                jeffreys=bool(block.get("jeffreys", False)),
             )
+        like = next(iter(likes.values())) if len(likes) == 1 else None
 
         space = ParamSpace.from_config(info.get("params", {}))
         # template-fit fast path: with a fixed P_lin and no sampled amplitude
@@ -359,7 +395,7 @@ class Analysis:
                     pipelines[name].freeze_template(prov.plin)
         return cls(
             configs=configs, pipelines=pipelines, providers=providers,
-            bases=bases, like=like, space=space, dtype=dtype,
+            bases=bases, like=like, likes=likes, space=space, dtype=dtype,
         )
 
     # -- evaluation -------------------------------------------------------
@@ -383,12 +419,27 @@ class Analysis:
         return out
 
     def loglike(self, theta) -> dict:
-        if self.like is None:
+        """Sum over all likelihood blocks (the reference's production runs
+        combine independent NGC/SGC eftlike blocks).  Returns totals plus a
+        per-block breakdown under ``blocks``."""
+        if not self.likes:
             raise ValueError("no likelihood block in the config")
         theta = jnp.asarray(theta, self.dtype)
         params = self.params_dict(theta)
-        inputs = self._inputs(params, list(self.like.runtimes))
-        return self.like.logp(inputs, params)
+        tracers = sorted({t for lk in self.likes.values() for t in lk.runtimes})
+        inputs = self._inputs(params, tracers)
+        blocks = {name: lk.logp(inputs, params) for name, lk in self.likes.items()}
+        out = dict(
+            logp=sum(b["logp"] for b in blocks.values()),
+            chi2=sum(b["chi2"] for b in blocks.values()),
+            fullchi2=sum(b["fullchi2"] for b in blocks.values()),
+        )
+        if len(blocks) == 1:
+            only = next(iter(blocks.values()))
+            if "bg_bestfit" in only:
+                out["bg_bestfit"] = only["bg_bestfit"]
+        out["blocks"] = blocks
+        return out
 
     def logp(self, theta):
         """log prior + log likelihood, one jit/vmap-able scalar."""
@@ -461,7 +512,7 @@ class Analysis:
                 names += [f"{t}_fz", f"{t}_fsigma8_z", f"{t}_alperp", f"{t}_alpara"]
             else:
                 names += [f"{t}_fz", f"{t}_alperp", f"{t}_alpara"]
-        if self.like is not None:
+        if self.likes:
             names += ["chi2", "fullchi2"]
         return names
 
@@ -482,7 +533,7 @@ class Analysis:
                 vals += [jnp.asarray(ci.f, self.dtype),
                          jnp.asarray(ci.qperp, self.dtype),
                          jnp.asarray(ci.qpar, self.dtype)]
-        if self.like is not None:
+        if self.likes:
             res = self.loglike(theta)
             vals += [res["chi2"], res["fullchi2"]]
         return jnp.stack(vals)

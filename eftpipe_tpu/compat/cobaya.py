@@ -174,13 +174,8 @@ def convert_cobaya_config(src, data_root=None, boltzmann: Mapping | None = None,
     for name, val in (info.get("likelihood") or {}).items():
         if isinstance(val, Mapping) and ("tracers" in val and "data" in val):
             like_blocks.append((name, val))
-    if len(like_blocks) > 1:
-        raise NotImplementedError(
-            "multiple eftlike blocks are not supported in one Analysis; "
-            "convert them separately"
-        )
-    if like_blocks:
-        _, lk = like_blocks[0]
+
+    def convert_block(lk: Mapping) -> dict:
         data = {}
         for t, d in (lk.get("data") or {}).items():
             d = dict(d)
@@ -203,7 +198,7 @@ def convert_cobaya_config(src, data_root=None, boltzmann: Mapping | None = None,
         binned = lk.get("with_binning", lk.get("binned", True))
         if isinstance(binned, (list, tuple)):
             binned = dict(zip(order, binned))
-        out["likelihood"] = {
+        return {
             "tracers": order,
             "data": data,
             "cov": cov,
@@ -211,6 +206,15 @@ def convert_cobaya_config(src, data_root=None, boltzmann: Mapping | None = None,
             "binned": binned,
             "marg": lk.get("marg"),
             "jeffreys": bool(lk.get("jeffreys", False)),
+        }
+
+    if len(like_blocks) == 1:
+        out["likelihood"] = convert_block(like_blocks[0][1])
+    elif like_blocks:
+        # independent blocks (e.g. NGC + SGC in the production configs):
+        # their log-likelihoods add — Analysis supports named blocks
+        out["likelihood"] = {
+            name: convert_block(lk) for name, lk in like_blocks
         }
 
     out["params"] = _convert_params(info.get("params"))

@@ -202,6 +202,10 @@ class MCMCDriver:
 
         chain = np.concatenate(chain_blocks)
         logps = np.concatenate(logp_blocks)
+        if not np.all(np.isfinite(rminus1)) and chain.shape[0] >= 4:
+            # resumed with no new blocks: diagnose the stored chain
+            rminus1 = gelman_rubin(chain, burn_frac=self.burn_frac) - 1.0
+            converged = bool(np.max(rminus1) < self.rhat_tol)
         tau = None
         if chain.shape[0] >= 50:
             tau = integrated_autocorr_time(chain, burn_frac=self.burn_frac)
@@ -213,8 +217,17 @@ class MCMCDriver:
         if self.out is not None:
             derived = None
             if self.derived_fn is not None:
-                derived = np.asarray(
-                    jax.vmap(self.derived_fn)(jnp.asarray(chain.reshape(-1, self.ndim)))
-                )
+                # chunked: the derived block re-evaluates the theory, and the
+                # flat chain can be tens of thousands of points
+                from .mesh import chunked_vmap
+
+                flat = chain.reshape(-1, self.ndim)
+                n = flat.shape[0]
+                chunk = min(1024, n)
+                pad = (-n) % chunk
+                if pad:
+                    flat = np.concatenate([flat, flat[:pad]])
+                fn = jax.jit(chunked_vmap(self.derived_fn, chunk_size=chunk))
+                derived = np.asarray(fn(jnp.asarray(flat)))[:n]
             self.write_chains(result, derived)
         return result
