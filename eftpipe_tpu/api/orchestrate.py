@@ -225,18 +225,32 @@ def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
 # ----------------------------------------------------------------------
 # sampled-parameter handling
 # ----------------------------------------------------------------------
+def _compile_lambda(expr: str):
+    """Compile a Cobaya-style ``"lambda a, b: ..."`` value string into a
+    function of the parameter dict (np maps to jnp so it traces under jit)."""
+    import inspect
+
+    fn = eval(expr, {"np": jnp, "jnp": jnp})  # noqa: S307 — config-supplied
+    argnames = inspect.getfullargspec(fn).args
+    return argnames, (lambda params: fn(*(params[a] for a in argnames)))
+
+
 @dataclass
 class ParamSpace:
-    """Split a ``params:`` block into sampled/fixed, with jit-able priors."""
+    """Split a ``params:`` block into sampled / fixed / computed, with
+    jit-able priors.  Computed parameters are Cobaya-style lambda strings
+    ("derived inputs", e.g. the production configs' c2/c4 → b2/b4 mapping)
+    evaluated with traced values inside the likelihood graph."""
 
     sampled: list[str]
     fixed: dict[str, float]
     priors: dict[str, dict]
     refs: dict[str, float]
+    computed: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
     def from_config(cls, params: Mapping[str, Any]) -> "ParamSpace":
-        sampled, fixed, priors, refs = [], {}, {}, {}
+        sampled, fixed, priors, refs, computed = [], {}, {}, {}, {}
         for name, spec in (params or {}).items():
             if isinstance(spec, Mapping) and "prior" in spec:
                 sampled.append(name)
@@ -250,10 +264,16 @@ class ParamSpace:
                         float(priors[name]["min"]) + float(priors[name]["max"])
                     )
             elif isinstance(spec, Mapping) and "value" in spec:
-                fixed[name] = float(spec["value"])
+                if isinstance(spec["value"], str):
+                    computed[name] = _compile_lambda(spec["value"])
+                else:
+                    fixed[name] = float(spec["value"])
+            elif isinstance(spec, str):
+                computed[name] = _compile_lambda(spec)
             else:
                 fixed[name] = float(spec)
-        return cls(sampled=sampled, fixed=fixed, priors=priors, refs=refs)
+        return cls(sampled=sampled, fixed=fixed, priors=priors, refs=refs,
+                   computed=computed)
 
     @property
     def ndim(self) -> int:
@@ -266,6 +286,23 @@ class ParamSpace:
         out = dict(self.fixed)
         for i, p in enumerate(self.sampled):
             out[p] = theta[i]
+        # resolve computed params; a few passes allow computed-on-computed
+        pending = dict(self.computed)
+        for _ in range(3):
+            if not pending:
+                break
+            still = {}
+            for name, (argnames, fn) in pending.items():
+                if all(a in out for a in argnames):
+                    out[name] = fn(out)
+                else:
+                    still[name] = (argnames, fn)
+            if len(still) == len(pending):
+                missing = {n: a for n, (a, _) in still.items()}
+                raise ValueError(
+                    f"computed params with unresolvable inputs: {missing}"
+                )
+            pending = still
         return out
 
     def log_prior(self, theta):

@@ -85,6 +85,7 @@ def _convert_tracer(tcfg: Mapping[str, Any]) -> dict:
 
 def _convert_params(params: Mapping[str, Any]) -> dict:
     out: dict[str, Any] = {}
+    lambdas: dict[str, str] = {}
     for name, spec in (params or {}).items():
         new = COSMO_RENAMES.get(name, name)
         scale = 0.01 if name == "H0" else 1.0
@@ -92,7 +93,7 @@ def _convert_params(params: Mapping[str, Any]) -> dict:
             new = "h"
         if not isinstance(spec, Mapping):
             if isinstance(spec, str):
-                warnings.warn(f"dropping lambda-valued param {name!r}")
+                lambdas[new] = spec
                 continue
             out[new] = float(spec) * scale
             continue
@@ -113,12 +114,33 @@ def _convert_params(params: Mapping[str, Any]) -> dict:
         elif "value" in spec:
             v = spec["value"]
             if isinstance(v, str):
-                warnings.warn(f"dropping lambda-valued param {name!r}")
+                lambdas[new] = v
                 continue
             out[new] = float(v) * scale
         else:
             # latex-only: a Cobaya derived parameter — not sampled here
             continue
+    # keep lambda-valued ("derived input") params whose arguments survive the
+    # conversion — e.g. the production configs' c2/c4 -> b2/b4 mapping; drop
+    # those referencing renamed/derived-only names (e.g. As(logA))
+    import inspect
+
+    for name, expr in lambdas.items():
+        try:
+            import numpy as _np
+
+            fn = eval(expr, {"np": _np})  # noqa: S307 — config-supplied
+            args = inspect.getfullargspec(fn).args
+        except Exception:
+            warnings.warn(f"dropping unparseable lambda param {name!r}")
+            continue
+        if all(a in out or a in lambdas for a in args):
+            out[name] = {"value": expr}
+        else:
+            warnings.warn(
+                f"dropping lambda-valued param {name!r} (inputs {args} not all"
+                " available after conversion)"
+            )
     return out
 
 

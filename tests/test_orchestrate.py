@@ -211,3 +211,48 @@ def test_gaussian_table_matches_autodiff(analysis):
     _, _, table = analysis.nonlinear_Plk_gaussian_grid("LRG", fid)
     np.testing.assert_allclose(np.asarray(g), np.asarray(table["LRG_b3"][0]),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_computed_params():
+    """Cobaya-style lambda-valued ('derived input') params evaluate inside
+    the parameter dict — the production configs' c2/c4 -> b2/b4 mapping."""
+    space = ParamSpace.from_config({
+        "c2": {"prior": {"min": -4.0, "max": 4.0}, "ref": 1.2},
+        "c4": 0.0,
+        "b2": {"value": "lambda c2, c4: (c2 + c4) / np.sqrt(2.)"},
+        "b4": "lambda c2, c4: (c2 - c4) / np.sqrt(2.)",
+        "bsq": {"value": "lambda b2: b2 ** 2"},  # computed-on-computed
+    })
+    assert space.sampled == ["c2"]
+    d = space.to_dict(np.array([1.2]))
+    np.testing.assert_allclose(float(d["b2"]), 1.2 / np.sqrt(2.0))
+    np.testing.assert_allclose(float(d["b4"]), 1.2 / np.sqrt(2.0))
+    np.testing.assert_allclose(float(d["bsq"]), (1.2 / np.sqrt(2.0)) ** 2)
+
+    with pytest.raises(ValueError, match="unresolvable"):
+        ParamSpace.from_config({
+            "x": {"value": "lambda missing: missing"},
+        }).to_dict(np.zeros(0))
+
+
+def test_compat_keeps_b2_b4_lambdas():
+    from pathlib import Path
+    from eftpipe_tpu.compat import convert_cobaya_config
+
+    yaml = Path("/root/reference/cobaya/yamls/"
+                "DR16_noric_LEX_NS_LP024_kmax0.20_EQ02_kmax0.20_XP024_kmax0.20_xnost.yaml")
+    if not yaml.exists():
+        pytest.skip("reference production yaml missing")
+    info = convert_cobaya_config(yaml)
+    p = info["params"]
+    assert isinstance(p["LRG_NGC_b2"], dict) and "value" in p["LRG_NGC_b2"]
+    assert "LRG_NGC_c2" in p and "prior" in p["LRG_NGC_c2"]
+    assert "As" not in p  # references renamed logA -> dropped
+    # end to end: the computed b2/b4 flow into the parameter dict
+    space = ParamSpace.from_config(p)
+    theta0 = space.theta0()
+    d = space.to_dict(theta0)
+    i = space.sampled.index("LRG_NGC_c2")
+    np.testing.assert_allclose(
+        float(d["LRG_NGC_b2"]), theta0[i] / np.sqrt(2.0), rtol=1e-12
+    )
