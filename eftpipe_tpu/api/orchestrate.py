@@ -81,13 +81,55 @@ from . import products as _products
 # config parsing
 # ----------------------------------------------------------------------
 def load_config(src) -> dict:
-    """dict passthrough, or YAML file path."""
+    """dict passthrough, or YAML file path.  For file configs, relative data
+    paths resolve against the config's directory (the reference switches cwd
+    with PathContext, tools.py:209-216 — here the paths are rewritten)."""
     if isinstance(src, Mapping):
         return copy.deepcopy(dict(src))
     import yaml
 
     with open(src) as f:
-        return yaml.safe_load(f)
+        info = yaml.safe_load(f)
+    _resolve_paths(info, Path(src).resolve().parent)
+    return info
+
+
+_PATH_KEYS = {
+    "path", "window_configspace_file", "window_fourier_file",
+    "icc_configspace_sn_file", "icc_configspace_ic_file", "cache_dir",
+}
+
+
+def _resolve_paths(node, base: Path) -> None:
+    """Rewrite relative path-valued entries (recognised keys) to absolute
+    paths under ``base`` when the target exists there."""
+    if isinstance(node, Mapping):
+        for key, val in node.items():
+            direct = key in _PATH_KEYS or (
+                key == "cov" and isinstance(val, (str, Path, list, tuple))
+            )
+            if direct:
+                if isinstance(val, (list, tuple)):
+                    node[key] = [_resolve_one(v, base) for v in val]
+                else:
+                    node[key] = _resolve_one(val, base)
+            else:
+                _resolve_paths(val, base)
+    elif isinstance(node, list):
+        for item in node:
+            _resolve_paths(item, base)
+
+
+def _resolve_one(val, base: Path):
+    if not isinstance(val, (str, Path)):
+        return val
+    p = Path(val)
+    if p.is_absolute():
+        return str(p)
+    cand = base / p
+    if cand.exists() or not p.exists():
+        return str(cand)
+    return str(p)
 
 
 def merge_tracer_configs(tracers: Mapping[str, Any]) -> dict[str, dict]:

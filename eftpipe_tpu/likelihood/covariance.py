@@ -64,6 +64,25 @@ def parse_subscripts(subscripts: str):
     return tuple(ops.index(s) for s in needed)
 
 
+def copy_block_diag(cov: np.ndarray, nblock: int) -> np.ndarray:
+    """Keep only the per-(block, block) diagonals of a covariance — the
+    reference's covariance-surgery utility (data/noric_cutsky/dcov.py:12-20),
+    used to build 'diagonal' covariances that retain multipole-multipole
+    correlations only on matching k bins."""
+    cov = np.asarray(cov)
+    n = cov.shape[0]
+    if n % nblock:
+        raise ValueError(f"covariance size {n} not divisible by {nblock} blocks")
+    nvec = n // nblock
+    out = np.zeros_like(cov)
+    for i in range(nblock):
+        for j in range(nblock):
+            sl_i = slice(i * nvec, (i + 1) * nvec)
+            sl_j = slice(j * nvec, (j + 1) * nvec)
+            np.fill_diagonal(out[sl_i, sl_j], np.diagonal(cov[sl_i, sl_j]))
+    return out
+
+
 class GaussianCovariance:
     """Thin-shell Gaussian covariance on a binned k grid."""
 

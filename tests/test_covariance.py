@@ -45,3 +45,24 @@ def test_fullcov_matches_reference():
         Multipole(pab["P0"], pab["P2"], pab["P4"]),
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+
+def test_copy_block_diag():
+    """Block-diagonal covariance surgery (reference dcov.py:12-20)."""
+    from eftpipe_tpu.likelihood.covariance import copy_block_diag
+
+    rng = np.random.default_rng(0)
+    n, nblock = 12, 3
+    cov = rng.standard_normal((n, n))
+    out = copy_block_diag(cov, nblock)
+    nvec = n // nblock
+    for i in range(nblock):
+        for j in range(nblock):
+            blk_in = cov[i*nvec:(i+1)*nvec, j*nvec:(j+1)*nvec]
+            blk_out = out[i*nvec:(i+1)*nvec, j*nvec:(j+1)*nvec]
+            np.testing.assert_array_equal(np.diag(blk_out), np.diag(blk_in))
+            off = blk_out - np.diag(np.diag(blk_out))
+            assert np.all(off == 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        copy_block_diag(cov, 5)

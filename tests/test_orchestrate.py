@@ -256,3 +256,42 @@ def test_compat_keeps_b2_b4_lambdas():
     np.testing.assert_allclose(
         float(d["LRG_NGC_b2"]), theta0[i] / np.sqrt(2.0), rtol=1e-12
     )
+
+
+def test_yaml_relative_paths_resolve_against_config_dir(tmp_path, template_file):
+    """Relative data paths in a YAML config resolve against the YAML's own
+    directory, whatever the process cwd (reference PathContext semantics)."""
+    import os
+    import yaml as _yaml
+
+    workdir = tmp_path
+    info = make_config(workdir, template_file, with_like=False)
+    th = Analysis.from_config(info)
+    fid = {"f": 0.8, "LRG_b1": 2.2, "ELG_b1": 1.3}
+    kout = np.arange(0.02, 0.1949, 0.005)
+    for name in ["LRG", "ELG", "X"]:
+        ls, keff, plk = jax.jit(
+            lambda: th.nonlinear_Plk_grid(name, fid, binned=True, kout=kout)
+        )()
+        np.savetxt(workdir / f"data_{name}.txt",
+                   np.column_stack([kout, *np.asarray(plk)]), header="k P0 P2")
+    np.savetxt(workdir / "cov.txt", np.eye(6 * kout.size) * 25.0)
+
+    full = make_config(workdir, template_file)
+    # make every path RELATIVE to the config dir
+    for t, d in full["likelihood"]["data"].items():
+        d["path"] = f"data_{t}.txt"
+    full["likelihood"]["cov"] = "cov.txt"
+    full["theory"]["tracers"]["default"]["boltzmann"]["path"] = "plin.txt"
+    np.savetxt(workdir / "plin.txt", np.loadtxt(template_file))
+    yml = workdir / "run.yaml"
+    yml.write_text(_yaml.safe_dump(full))
+
+    old = os.getcwd()
+    os.chdir("/")  # anywhere that is NOT the config dir
+    try:
+        an = Analysis.from_config(yml)
+    finally:
+        os.chdir(old)
+    lp = jax.jit(an.logp)(jnp.asarray(an.space.theta0()))
+    assert np.isfinite(float(lp))
