@@ -95,8 +95,19 @@ class HostFFTLog:
         detilt = np.exp(-self.bias * np.arange(ileft, iright) * self.dx)
         if kernel is not None:
             detilt = detilt * kernel(xmid)
-        smat = spline_matrix(xin, xmid, log_x=log_interp)
-        fx[..., ileft:iright] = (f @ smat.T) * detilt
+        if xin.size <= 512:
+            # operator form: reused by jit plans with fixed input grids
+            smat = spline_matrix(xin, xmid, log_x=log_interp)
+            fmid = f @ smat.T
+        else:
+            # large input grids (e.g. 10^4-point survey-window tables):
+            # building the (m, n) spline operator costs O(n²) — spline the
+            # data directly instead
+            from scipy.interpolate import CubicSpline
+
+            xi, xo = (np.log(xin), np.log(xmid)) if log_interp else (xin, xmid)
+            fmid = CubicSpline(xi, f, axis=-1, extrapolate=True)(xo)
+        fx[..., ileft:iright] = fmid * detilt
 
         if extrap[0] == "extrap" and ileft > 0:
             slope = (np.log(f[..., 1:2]) - np.log(f[..., 0:1])) / np.log(xin[1] / xin[0])
