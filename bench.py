@@ -9,18 +9,67 @@ The reference implementation evaluates O(1) posterior/sec/process (PyBird
 "runs in less than a second" per full P_l evaluation —
 /root/reference/eftpipe/pybird/README.md:22, plus likelihood overhead), so
 ``vs_baseline`` is evals/sec against a 1.0 evals/sec/process baseline.
+
+Extra modes:
+  BENCH_ACCURACY=1 (default) — also computes a float64 CPU reference logp
+    for a small seeded batch in a subprocess and reports/enforces the
+    production-dtype accuracy budget (|dlogp| < 0.05, the
+    tests/test_accuracy_budget.py gate on the real-TPU path).
+  BENCH_SHARD=1 — shards the walker batch over all visible devices
+    (jax.sharding.Mesh) and reports per-chip scaling efficiency against a
+    single-device run of the per-chip batch.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+LOGP_ABS_BUDGET = 0.05
+_ACC_BATCH = 16
+
+
+def _make_batches(theta0, batch, n, dtype, jnp):
+    rng = np.random.default_rng(0)
+    return [
+        jnp.asarray(
+            theta0[None, :] * (1.0 + 1e-3 * rng.standard_normal((batch, theta0.size))),
+            dtype,
+        )
+        for _ in range(n)
+    ]
+
+
+def _accuracy_ref() -> None:
+    """Subprocess mode: print the float64 CPU logp for the seeded batch."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from eftpipe_tpu.api.flagship import build_flagship
+
+    workdir = os.environ.get("BENCH_WORKDIR", "bench_assets")
+    model = build_flagship(workdir, dtype=jnp.float64)
+    thetas = _make_batches(model.theta0.astype(np.float64), _ACC_BATCH, 1,
+                           jnp.float64, jnp)[0]
+    out = jax.jit(jax.vmap(model.logp))(thetas)
+    print(json.dumps([float(x) for x in np.asarray(out)]))
+
 
 def main() -> None:
     import jax
+
+    # the axon TPU plugin registers itself and wins unless the config flag is
+    # set too (JAX_PLATFORMS env alone is not honored) — needed for the
+    # virtual-mesh validation runs
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     dtype_flag = os.environ.get("BENCH_DTYPE", "float32")
     if dtype_flag == "float64":
@@ -48,41 +97,99 @@ def main() -> None:
     model = build_flagship(workdir, dtype=dtype)
     logp_batch = jax.jit(chunked_vmap(model.logp, chunk_size=min(chunk, batch)))
 
-    rng = np.random.default_rng(0)
     theta0 = model.theta0.astype(np.float64)
-    # one distinct batch per iteration: the TPU tunnel caches identical
-    # (executable, inputs) executions, which would make repeated calls free
-    batches = [
-        jnp.asarray(
-            theta0[None, :] * (1.0 + 1e-3 * rng.standard_normal((batch, theta0.size))),
-            dtype,
-        )
-        for _ in range(iters)
-    ]
-
-    out = logp_batch(batches[0])
-    out.block_until_ready()  # compile + warmup
-    if not bool(jnp.isfinite(out).all()):
-        print(json.dumps({"metric": "error", "value": 0, "unit": "",
-                          "vs_baseline": 0, "detail": "non-finite logp"}))
-        sys.exit(1)
-
-    t0 = time.perf_counter()
-    for thetas in batches:
-        out = logp_batch(thetas)
-        out.block_until_ready()
-    dt = time.perf_counter() - t0
-
     n_dev = max(1, len(jax.devices()))
-    evals_per_sec = batch * iters / dt
-    value = evals_per_sec / n_dev
+    shard = os.environ.get("BENCH_SHARD", "0") != "0" and n_dev > 1
+
+    def run_timed(fn, batches):
+        # one distinct batch per iteration (plus one warmup-only batch): the
+        # TPU tunnel caches identical (executable, inputs) executions, so
+        # re-running the warmup batch inside the timed loop would be free
+        out = fn(batches[0])
+        out.block_until_ready()  # compile + warmup (this batch is never re-timed)
+        if not bool(jnp.isfinite(out).all()):
+            print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                              "vs_baseline": 0, "detail": "non-finite logp"}))
+            sys.exit(1)
+        t0 = time.perf_counter()
+        for thetas in batches[1:]:
+            out = fn(thetas)
+            out.block_until_ready()
+        return time.perf_counter() - t0
+
+    extra = {}
+    if shard:
+        from eftpipe_tpu.parallel.mesh import walker_mesh, shard_walkers
+
+        mesh = walker_mesh()
+        per_chip = max(chunk, batch // n_dev)
+        full = per_chip * n_dev
+        # plain vmap on both sides: chunked_vmap's sequential lax.map would
+        # serialise the per-device chunks and hide the scaling we measure
+        logp_plain = jax.jit(jax.vmap(model.logp))
+        single_batches = _make_batches(theta0, per_chip, iters + 1, dtype, jnp)
+        t_single = run_timed(logp_plain, single_batches)
+        shard_batches = [
+            shard_walkers(b, mesh)
+            for b in _make_batches(theta0, full, iters + 1, dtype, jnp)
+        ]
+        dt = run_timed(logp_plain, shard_batches)
+        value = full * iters / dt / n_dev
+        # perfect scaling: the sharded run of n_dev x per_chip walkers takes
+        # the single-device per_chip time
+        extra = {
+            "n_devices": n_dev,
+            "scaling_eff": round(t_single / dt, 4),
+            "single_chip_evals_per_sec": round(per_chip * iters / t_single, 2),
+        }
+    else:
+        batches = _make_batches(theta0, batch, iters + 1, dtype, jnp)
+        dt = run_timed(logp_batch, batches)
+        value = batch * iters / dt / n_dev
+
+    if os.environ.get("BENCH_ACCURACY", "1") != "0" and dtype_flag != "float64":
+        acc = _run_accuracy_check(model, jax, jnp, dtype)
+        extra.update(acc)
+        if acc.get("logp_max_abs_err", 0.0) > LOGP_ABS_BUDGET:
+            print(json.dumps({
+                "metric": "error", "value": 0, "unit": "", "vs_baseline": 0,
+                "detail": f"accuracy budget violated: {acc}",
+            }))
+            sys.exit(1)
+
     print(json.dumps({
         "metric": "full P_l theory+likelihood evals/sec/chip (vmapped walkers)",
         "value": round(value, 2),
         "unit": "evals/s/chip",
         "vs_baseline": round(value / 1.0, 2),
+        **extra,
     }))
 
 
+def _run_accuracy_check(model, jax, jnp, dtype) -> dict:
+    """f32-on-accelerator vs f64-on-CPU logp for a seeded small batch; the
+    reference values come from a subprocess so x64 can be enabled cleanly."""
+    import jax.numpy as _jnp
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", BENCH_DTYPE="float64")
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--accuracy-ref"],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        ref = np.asarray(json.loads(res.stdout.strip().splitlines()[-1]))
+    except Exception as exc:  # pragma: no cover — diagnostics only
+        return {"accuracy_check": f"skipped ({type(exc).__name__})"}
+    thetas = _make_batches(model.theta0.astype(np.float64), _ACC_BATCH, 1,
+                           dtype, jnp)[0]
+    got = np.asarray(jax.jit(jax.vmap(model.logp))(thetas), np.float64)
+    return {"logp_max_abs_err": round(float(np.abs(got - ref).max()), 6),
+            "logp_abs_budget": LOGP_ABS_BUDGET}
+
+
 if __name__ == "__main__":
-    main()
+    if "--accuracy-ref" in sys.argv:
+        _accuracy_ref()
+    else:
+        main()

@@ -27,9 +27,10 @@ class BestfitModel:
     params: dict = field(init=False)    # full named params incl. restored bG
 
     @classmethod
-    def from_chains(cls, analysis, chains, burn_in: float = 0.3) -> "BestfitModel":
+    def from_chains(cls, analysis, chains) -> "BestfitModel":
         """Bestfit point from a ChainProducts (global fullchi2 rule when
-        available, analysis.py:425-445)."""
+        available, analysis.py:425-445).  Burn-in is applied where the chains
+        are loaded (``ChainProducts.from_prefix(burn_in=...)``), not here."""
         best = chains.global_bestfit()
         theta = np.array([best[p] for p in analysis.space.sampled])
         return cls(analysis=analysis, theta=theta)

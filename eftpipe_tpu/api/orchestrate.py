@@ -261,6 +261,20 @@ def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
         from ..boltzmann.emulator import EmulatorProvider
 
         return EmulatorProvider.load(cfg=cfg, zeff=zeff, **bcfg)
+    if name == "solver":
+        # full on-device Einstein-Boltzmann solve per evaluation — the
+        # Boltzmann-grade oracle (slow; use for gates/training, not sampling)
+        from ..boltzmann.einstein_boltzmann import SolverProvider
+
+        return SolverProvider(cfg=cfg, zeff=zeff, **bcfg)
+    if "." in name:
+        # dotted-path extension point, mirroring the reference's
+        # find_boltzmann_extractor (boltzmann.py:351-363)
+        import importlib
+
+        module_name, cls_name = name.rsplit(".", 1)
+        provider_cls = getattr(importlib.import_module(module_name), cls_name)
+        return provider_cls(cfg=cfg, zeff=zeff, **bcfg)
     raise ValueError(f"unknown boltzmann provider {name!r}")
 
 
@@ -269,10 +283,14 @@ def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
 # ----------------------------------------------------------------------
 def _compile_lambda(expr: str):
     """Compile a Cobaya-style ``"lambda a, b: ..."`` value string into a
-    function of the parameter dict (np maps to jnp so it traces under jit)."""
+    function of the parameter dict (np maps to jnp so it traces under jit).
+
+    Params lambdas are code: they are evaluated with builtins stripped so a
+    loaded third-party config can reference only np/jnp, not the interpreter.
+    """
     import inspect
 
-    fn = eval(expr, {"np": jnp, "jnp": jnp})  # noqa: S307 — config-supplied
+    fn = eval(expr, {"__builtins__": {}, "np": jnp, "jnp": jnp})  # noqa: S307
     argnames = inspect.getfullargspec(fn).args
     return argnames, (lambda params: fn(*(params[a] for a in argnames)))
 
@@ -406,11 +424,18 @@ class Analysis:
         else:
             blocks = dict(lk or {})
 
-        def per_tracer(x, name, default):
+        def per_tracer(x, name, default, order=None):
+            # scalar / list / dict forms all accepted, mirroring the
+            # reference's or_list_to_dict (likelihood.py:309-335); list
+            # entries map to tracers by position in the block's order
             if isinstance(x, Mapping):
                 return x.get(name, default)
             if isinstance(x, (list, tuple)):
-                raise ValueError("per-tracer lists must be converted to dicts")
+                if order is None or len(x) != len(order):
+                    raise ValueError(
+                        f"per-tracer list {x!r} does not match tracer order {order!r}"
+                    )
+                return x[list(order).index(name)]
             return x
 
         # requirement negotiation (reference theory.py:500-555): a chained
@@ -419,7 +444,7 @@ class Analysis:
             order = block.get("tracers", list(block.get("data", {})))
             chained = block.get("chained", False)
             for name in order:
-                if not per_tracer(chained, name, False):
+                if not per_tracer(chained, name, False, order):
                     continue
                 data_ls = block["data"][name]["ls"]
                 need = max(data_ls) + 2
@@ -451,10 +476,10 @@ class Analysis:
                     pipeline=pipelines[name],
                     basis=bases[name],
                     data=dict(block["data"][name]),
-                    chained=bool(per_tracer(chained, name, False)),
-                    with_binning=bool(per_tracer(binned, name, True)),
-                    with_interp=not bool(per_tracer(binned, name, True)),
-                    binning=dict(per_tracer(binning, name, {}) or {}),
+                    chained=bool(per_tracer(chained, name, False, order)),
+                    with_binning=bool(per_tracer(binned, name, True, order)),
+                    with_interp=not bool(per_tracer(binned, name, True, order)),
+                    binning=dict(per_tracer(binning, name, {}, order) or {}),
                 )
             likes[block_name] = EFTLikelihood(
                 tracers=specs,

@@ -22,8 +22,9 @@ What is translated
   Nreal → Hartlap), chained (scalar/list/dict), with_binning, marg, jeffreys
 * params: Cobaya priors/refs; the standard cosmology renames
   omegabh2→omega_b, omegach2→omega_cdm, H0→h (values ÷100), logA→ln10As;
-  ``value:`` floats become fixed params; latex-only (derived) entries and
-  lambda-valued entries are dropped with a warning
+  ``value:`` floats become fixed params; lambda-valued entries become
+  computed parameters evaluated with traced values (orchestrate.ParamSpace);
+  latex-only (derived) entries are dropped with a warning
 
 What is NOT translated
 ----------------------

@@ -27,7 +27,10 @@ def _compile_prior_entry(x) -> Callable[[Mapping], Any] | float:
     if x is None:
         return 0.0
     if isinstance(x, str):
-        fn = eval(x, {"np": jnp, "jnp": jnp})  # noqa: S307 — config-supplied expression
+        # prior loc/scale strings are code (the reference's eval_callable
+        # pattern); evaluated with builtins stripped so a loaded config can
+        # only reference np/jnp
+        fn = eval(x, {"__builtins__": {}, "np": jnp, "jnp": jnp})  # noqa: S307
         argnames = inspect.getfullargspec(fn).args
         return lambda params: fn(*(params[a] for a in argnames))
     if callable(x):
@@ -54,19 +57,15 @@ class MarginalSetup:
                 raise ValueError(f"parameter {name!r} is not marginalizable")
         items = sorted(prior.items(), key=lambda kv: ordering.index(kv[0]))
         names, locs, scales = [], [], []
-        n_inf = 0
         for name, cfgd in items:
             cfgd = cfgd or {}
             loc = cfgd.get("loc")
             scale = cfgd.get("scale")
             if scale is None or scale == np.inf:
                 scale = np.inf
-                n_inf += 1
             names.append(name)
             locs.append(_compile_prior_entry(loc))
             scales.append(scale if scale == np.inf else _compile_prior_entry(scale))
-        if n_inf not in (0, len(names)):
-            raise ValueError("infinite prior scale must apply to all parameters or none")
         return cls(names=names, locs=locs, scales=scales, jeffreys=jeffreys)
 
     @property
@@ -79,6 +78,8 @@ class MarginalSetup:
             [loc(params) if callable(loc) else jnp.asarray(loc, jnp.result_type(float))
              for loc in self.locs]
         )
+        # reference parity (marginal.py:69-77): a single infinite scale zeroes
+        # the ENTIRE prior matrix — any mix of finite/infinite is accepted
         if any(s is np.inf or (isinstance(s, float) and np.isinf(s)) for s in self.scales):
             sigma_inv = jnp.zeros((self.nmarg, self.nmarg), mu.dtype)
         else:
@@ -113,7 +114,13 @@ def marginalized_logp(pg, png, invcov, data, mu, sigma_inv, jeffreys: bool = Fal
         chi2 = chi2 + logdet
     res_full = bg_best @ pg + png - data
     fullchi2 = res_full @ invcov @ res_full
-    return -0.5 * chi2, fullchi2, bg_best
+    # the reference raises on a non-positive-definite F2 (marginal.py:110-116);
+    # under jit we instead return -inf so a degenerate PG matrix rejects the
+    # walker instead of poisoning the chain with silent NaNs.  The isfinite
+    # clause catches the near-singular case where rounding leaves sign > 0
+    # but the solve already produced inf/NaN.
+    logp = jnp.where((sign > 0) & jnp.isfinite(chi2), -0.5 * chi2, -jnp.inf)
+    return logp, fullchi2, bg_best
 
 
 def bg_bestfit(pg, png, invcov, data, mu, sigma_inv):

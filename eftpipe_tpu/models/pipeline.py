@@ -80,7 +80,19 @@ class TracerPipeline:
         icc_tables = build_icc_tables(cfg, cache_dir=cache_dir, **icc) if icc else None
         wt = None
         if window:
-            wt = build_window_tables(cfg, cache_dir=cache_dir, icc_tables=icc_tables, **window)
+            window = dict(window)
+            builder = build_window_tables
+            dotted = window.pop("builder", None)
+            if dotted:
+                # dotted-path window extension point, mirroring the
+                # reference's window-class lookup (theory.py:62-72); the
+                # target must share build_window_tables' signature and
+                # return the same table dict consumed by apply_window
+                import importlib
+
+                module_name, fn_name = dotted.rsplit(".", 1)
+                builder = getattr(importlib.import_module(module_name), fn_name)
+            wt = builder(cfg, cache_dir=cache_dir, icc_tables=icc_tables, **window)
         wmt = build_window_matrix_tables(cfg, **window_matrix) if window_matrix else None
         ft = build_fiber_tables(cfg, **fiber) if fiber else None
         return cls(cfg=cfg, nt=nt, bt=bt, rt=rt, at=at, wt=wt, wmt=wmt, ft=ft,

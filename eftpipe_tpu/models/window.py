@@ -10,8 +10,13 @@ the internal k grid onto the p grid (window.py:371-387) is itself a constant
 matrix, so the whole convolution collapses into a single constant tensor
 ``wmat[a, l, k, j]`` applied as one einsum in the jitted graph.
 
-The matrix is cached to ``<cache_dir>/window_<hash>.npz`` with a JSON meta
-sidecar validated on load (window.py:204-260's MetaInfoError pattern).
+The matrix is cached to ``<cache_dir>/window_<hash>.npz`` keyed by a hash of
+the build settings, with the settings themselves stored as a ``meta`` JSON
+string *inside* the npz (a hash mismatch simply misses the cache, so stale
+artifacts can never be loaded).  Reference-format ``window_fourier_file``
+matrices (raw ``.npy`` with an optional ``.json`` meta sidecar) are also
+accepted, validated against the current settings on load and written back
+after a compute — the window.py:204-260 MetaInfoError pattern.
 
 ``WindowMatrix`` (precomputed wide-angle style matrices, window.py:472-577)
 is provided by :func:`build_window_matrix_tables`.
@@ -29,15 +34,15 @@ from scipy.special import spherical_jn
 from ..ops.fftlog import HostFFTLog
 from ..ops.interp import spline_matrix
 from ..tables.loop_matrices import mpc
+from ..utils.io import atomic_save_npz
+from .config import EFTConfig
+from .bird import BirdState
+from .transforms import map_pk_fields
 
 
 class MetaInfoError(Exception):
     """Cached/loaded window artifact inconsistent with the current settings
     (reference window.py:36)."""
-from ..utils.io import atomic_save_npz
-from .config import EFTConfig
-from .bird import BirdState
-from .transforms import map_pk_fields
 
 # Wigner-3j² coupling C_{a,l,q} = (2a+1) (a l q; 0 0 0)² restricted to even
 # multipoles a,l,q ∈ {0,2,4,6} (window.py:286-303)
@@ -169,20 +174,51 @@ def build_window_tables(
     )
     wal = None
     cache_path = None
+    fourier_path = None
     if window_fourier_file is not None:
         # reference-format precomputed Fourier matrix: a raw .npy of
         # Wal[a, l, k, p] (window.py:204-260), with the Nl-suffix retry
-        wf = Path(window_fourier_file)
+        fourier_path = Path(window_fourier_file)
+        wf = fourier_path
         if wf.exists():
             wal = np.load(wf)
             if wal.shape[1] != nl:
                 retry = wf.with_name(wf.stem + f"_Nl{nl}.npy")
-                wal = np.load(retry) if retry.exists() else None
-        if wal is not None and wal.shape[:2] != (na, nl):
-            raise MetaInfoError(
-                f"window fourier matrix shape {wal.shape} does not match "
-                f"(na, nl) = ({na}, {nl})"
-            )
+                if retry.exists():
+                    wal, wf = np.load(retry), retry
+                else:
+                    wal = None
+        if wal is not None:
+            if wal.shape[:2] != (na, nl):
+                raise MetaInfoError(
+                    f"window fourier matrix shape {wal.shape} does not match "
+                    f"(na, nl) = ({na}, {nl})"
+                )
+            if wal.shape[2:] != (cfg.k.size, p.size):
+                raise MetaInfoError(
+                    f"window fourier matrix (nk, np) = {wal.shape[2:]} does "
+                    f"not match the current grids ({cfg.k.size}, {p.size}) — "
+                    "was it built for different k/accboost/pmax settings?"
+                )
+            # honor a reference-style JSON meta sidecar when present
+            # (window.py:233-256): settings drift raises, not silently loads
+            meta_file = wf.with_suffix(".json")
+            if meta_file.exists():
+                with meta_file.open() as fjson:
+                    loaded_meta = json.load(fjson)
+                check_keys = [
+                    key for key in meta
+                    if key in loaded_meta and key != "window_configspace_file"
+                ]
+                mismatch = {
+                    key: (loaded_meta[key], meta[key])
+                    for key in check_keys if loaded_meta[key] != meta[key]
+                }
+                if mismatch:
+                    raise MetaInfoError(
+                        f"window fourier meta {meta_file} inconsistent with "
+                        f"current settings: {mismatch}"
+                    )
     if wal is None and cache_dir is not None:
         key = hashlib.sha256(json.dumps(meta, sort_keys=True).encode()).hexdigest()[:16]
         cache_path = Path(cache_dir) / f"window_{key}.npz"
@@ -198,6 +234,17 @@ def build_window_tables(
         )
         if cache_path is not None:
             atomic_save_npz(cache_path, wal=wal, meta=json.dumps(meta))
+        if fourier_path is not None:
+            # save the computed matrix back to the requested fourier file
+            # with its meta sidecar, like the reference's _save_Wal
+            # (window.py:361-369), so the next run loads instead of recomputing
+            try:
+                fourier_path.parent.mkdir(parents=True, exist_ok=True)
+                np.save(fourier_path, wal)
+                with fourier_path.with_suffix(".json").open("w") as fjson:
+                    json.dump(meta, fjson, indent=2)
+            except OSError:
+                pass
 
     waldk = mask_and_weight(cfg, wal, p, withmask=withmask, windowk=windowk)
     # fuse the per-eval cubic interpolation co.k -> p into the window tensor

@@ -23,9 +23,31 @@ from pathlib import Path
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "panelio.cpp"
 _LIB = _HERE / "_panelio.so"
+_HOSTINFO = _HERE / "_panelio.hostinfo"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _host_key() -> str:
+    """Fingerprint of the CPU ISA the cached .so was compiled for.  The
+    library is built with -march=native, so a binary carried to a host with a
+    different feature set would SIGILL at first call rather than fail to
+    load — rebuild unless the fingerprint matches."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split(":", 1)[1].split())).encode()
+                    ).hexdigest()[:16]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.machine().encode()).hexdigest()[:16]
 
 
 def _build() -> bool:
@@ -33,8 +55,20 @@ def _build() -> bool:
            str(_SRC), "-o", str(_LIB)]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0
+        if res.returncode != 0:
+            return False
+        _HOSTINFO.write_text(_host_key())
+        return True
     except Exception:
+        return False
+
+
+def _cached_lib_valid() -> bool:
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        return False
+    try:
+        return _HOSTINFO.read_text().strip() == _host_key()
+    except OSError:
         return False
 
 
@@ -44,7 +78,7 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _cached_lib_valid():
             if not _build():
                 return None
         try:

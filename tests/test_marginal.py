@@ -81,15 +81,34 @@ def test_string_priors_eval_against_params():
                                np.diag([1 / 4.0, 1 / 9.0]))
 
 
-def test_infinite_scale_all_or_nothing():
+def test_infinite_scale_zeroes_sigma_inv():
     setup = MarginalSetup.from_config(
         {"b3": {}, "cct": {"scale": None}}, ordering=["b3", "cct"]
     )
     mu, sigma_inv = setup.mu_sigma_inv({})
     np.testing.assert_allclose(np.asarray(sigma_inv), 0.0)
-    with pytest.raises(ValueError, match="all parameters or none"):
-        MarginalSetup.from_config(
-            {"b3": {"scale": 2.0}, "cct": {}}, ordering=["b3", "cct"]
-        )
+    # reference parity (marginal.py:69-77): a MIX of finite and infinite
+    # scales is accepted, and any single inf zeroes the entire matrix
+    setup = MarginalSetup.from_config(
+        {"b3": {"scale": 2.0}, "cct": {}}, ordering=["b3", "cct"]
+    )
+    _, sigma_inv = setup.mu_sigma_inv({})
+    np.testing.assert_allclose(np.asarray(sigma_inv), 0.0)
     with pytest.raises(ValueError, match="not marginalizable"):
         MarginalSetup.from_config({"zz": {}}, ordering=["b3"])
+
+
+def test_degenerate_f2_yields_neg_inf_not_nan(problem):
+    """The reference raises on slogdet sign <= 0 (marginal.py:110-116); the
+    jitted path must reject the point with -inf rather than emit NaN."""
+    import jax
+
+    pg, png, data, invcov, mu, sigma_inv = problem
+    # duplicate a PG row with a zero prior: F2 is exactly singular
+    pg_deg = jnp.concatenate([pg, pg[:1]], axis=0)
+    mu_deg = jnp.concatenate([mu, mu[:1]])
+    si_deg = jnp.zeros((pg_deg.shape[0], pg_deg.shape[0]), pg.dtype)
+    logp, _, _ = jax.jit(marginalized_logp)(
+        pg_deg, png, invcov, data, mu_deg, si_deg
+    )
+    assert float(logp) == -np.inf

@@ -295,3 +295,47 @@ def test_yaml_relative_paths_resolve_against_config_dir(tmp_path, template_file)
         os.chdir(old)
     lp = jax.jit(an.logp)(jnp.asarray(an.space.theta0()))
     assert np.isfinite(float(lp))
+
+
+def test_per_tracer_list_forms(tmp_path, template_file):
+    """chained/binned/binning accept scalar, list (by tracer order), or dict
+    forms, mirroring the reference's or_list_to_dict (likelihood.py:309-335)."""
+    workdir = tmp_path
+    info = make_config(workdir, template_file, with_like=False)
+    th = Analysis.from_config(info)
+    fid = {"f": 0.8, "LRG_b1": 2.2, "ELG_b1": 1.3}
+    kout = np.arange(0.02, 0.1949, 0.005)
+    for name in ["LRG", "ELG", "X"]:
+        ls, keff, plk = jax.jit(
+            lambda: th.nonlinear_Plk_grid(name, fid, binned=True, kout=kout)
+        )()
+        np.savetxt(workdir / f"data_{name}.txt",
+                   np.column_stack([kout, *np.asarray(plk)]), header="k P0 P2")
+    np.savetxt(workdir / "cov.txt", np.eye(6 * kout.size) * 25.0)
+
+    full = make_config(workdir, template_file)
+    full["likelihood"]["binned"] = [True, True, True]
+    full["likelihood"]["chained"] = [False, False, False]
+    full["likelihood"]["binning"] = [{}, {}, {}]
+    an = Analysis.from_config(full)
+    lp = jax.jit(an.logp)(jnp.asarray(an.space.theta0()))
+    assert np.isfinite(float(lp))
+
+    bad = make_config(workdir, template_file)
+    bad["likelihood"]["binned"] = [True, True]  # wrong length
+    with pytest.raises(ValueError, match="per-tracer list"):
+        Analysis.from_config(bad)
+
+
+def test_dotted_path_boltzmann_provider(tmp_path, template_file):
+    """boltzmann: name may be a dotted path, mirroring the reference's
+    find_boltzmann_extractor (boltzmann.py:351-363)."""
+    info = make_config(tmp_path, template_file, with_like=False)
+    info["theory"]["tracers"]["default"]["boltzmann"] = {
+        "name": "eftpipe_tpu.boltzmann.eh98.EisensteinHuProvider",
+        "da_fid": 1.0, "h_fid": 1.0,
+    }
+    an = Analysis.from_config(info)
+    from eftpipe_tpu.boltzmann.eh98 import EisensteinHuProvider
+
+    assert all(isinstance(p, EisensteinHuProvider) for p in an.providers.values())
