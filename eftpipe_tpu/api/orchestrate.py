@@ -60,6 +60,8 @@ prior handling at the granularity the reference uses.
 from __future__ import annotations
 
 import copy
+import logging
+import time as _time
 import numpy as np
 import jax.numpy as jnp
 from dataclasses import dataclass, field
@@ -75,6 +77,8 @@ from ..boltzmann.providers import FixedTemplateProvider, TabulatedProvider
 from ..models.ap import lcdm_da, lcdm_hubble
 from ..utils.dicttools import recursively_update_dict
 from . import products as _products
+
+log = logging.getLogger("eftpipe_tpu.orchestrate")
 
 
 # ----------------------------------------------------------------------
@@ -266,7 +270,23 @@ def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
         # Boltzmann-grade oracle (slow; use for gates/training, not sampling)
         from ..boltzmann.einstein_boltzmann import SolverProvider
 
+        om_fid = bcfg.pop("om_fid", None)
+        if om_fid is not None:
+            bcfg.setdefault("da_fid", lcdm_da(om_fid, zeff))
+            bcfg.setdefault("h_fid", lcdm_hubble(om_fid, zeff))
         return SolverProvider(cfg=cfg, zeff=zeff, **bcfg)
+    if name == "solver_emulator":
+        # trained PCA+MLP emulator of the Einstein-Boltzmann solver — the
+        # production Boltzmann-grade provider (microseconds per eval)
+        from ..boltzmann.emulator import SolverEmulatorProvider
+
+        om_fid = bcfg.pop("om_fid", 0.31)
+        return SolverEmulatorProvider.load(
+            cfg=cfg, zeff=zeff,
+            da_fid=bcfg.pop("da_fid", lcdm_da(om_fid, zeff)),
+            h_fid=bcfg.pop("h_fid", lcdm_hubble(om_fid, zeff)),
+            **bcfg,
+        )
     if "." in name:
         # dotted-path extension point, mirroring the reference's
         # find_boltzmann_extractor (boltzmann.py:351-363)
@@ -458,11 +478,32 @@ class Analysis:
             if tcfg.get("cross"):
                 a, b = tcfg["cross"]
                 partners = (tracer_cfgs[a], tracer_cfgs[b])
+            t0 = _time.perf_counter()
             cfg, pipe, provider, basis = build_tracer(
                 name, tcfg, cross_partners=partners, cache_dir=cache_dir
             )
             configs[name], pipelines[name] = cfg, pipe
             providers[name], bases[name] = provider, basis
+            # resolved-configuration echo (the reference logs every plugin's
+            # settings at init, theory.py:448-487) — debugging a
+            # mis-converted YAML should not require reading dicts by hand
+            plugins = [
+                p for p, t in (
+                    ("IRresum", pipe.rt), ("AP", pipe.at), ("window", pipe.wt),
+                    ("window_matrix", pipe.wmt), ("fiber", pipe.ft),
+                ) if t is not None
+            ]
+            if pipe.wt is not None and pipe.wt.get("icc"):
+                plugins.append("icc")
+            log.info(
+                "tracer %s: z=%.4g ls=%s nl=%d basis=%s provider=%s "
+                "plugins=[%s]%s (Phase-A build %.1fs)",
+                name, tcfg.get("z", tcfg.get("zeff", 0.5)),
+                tcfg.get("ls", [0, 2]), cfg.nl, type(basis).__name__,
+                type(provider).__name__, ",".join(plugins),
+                f" cross={tcfg['cross']}" if tcfg.get("cross") else "",
+                _time.perf_counter() - t0,
+            )
 
         likes: dict[str, EFTLikelihood] = {}
         for block_name, block in blocks.items():
@@ -487,9 +528,20 @@ class Analysis:
                 marg=block.get("marg"),
                 jeffreys=bool(block.get("jeffreys", False)),
             )
+            lk = likes[block_name]
+            log.info(
+                "likelihood %s: tracers=%s ndata=%d marg=%d jeffreys=%s "
+                "(data/cov masks applied, reference likelihood.py:365-384)",
+                block_name, order, lk.ndata,
+                lk.marginal.nmarg if lk.marginal else 0, lk.jeffreys,
+            )
         like = next(iter(likes.values())) if len(likes) == 1 else None
 
         space = ParamSpace.from_config(info.get("params", {}))
+        log.info(
+            "params: %d sampled %s, %d fixed, %d computed",
+            space.ndim, space.sampled, len(space.fixed), len(space.computed),
+        )
         # template-fit fast path: with a fixed P_lin and no sampled amplitude
         # the loop products are Phase-A constants (pipeline.freeze_template)
         amp_free = "A" not in space.sampled and space.fixed.get("A", 1.0) == 1.0

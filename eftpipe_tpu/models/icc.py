@@ -25,7 +25,11 @@ from pathlib import Path
 from ..ops.fftlog import HostFFTLog
 from ..ops.fftlog2d import HostFFTLog2D, bessel_matrix
 from ..ops.interp import spline_matrix
+import logging
+
 from ..utils.io import atomic_save_npz
+
+log = logging.getLogger("eftpipe_tpu.icc")
 from .config import EFTConfig
 from .window import window_kgrid, mask_and_weight
 
@@ -143,10 +147,15 @@ def build_icc_tables(
         cache_path = Path(cache_dir) / f"icc_{key}.npz"
         if cache_path.exists():
             data = np.load(cache_path)
+            log.info("icc: loaded cached tables %s", cache_path)
             psn, wal = data["psn"], data["wal"]
     if psn is None:
         if icc_configspace_sn_file is None or icc_configspace_ic_file is None:
             raise ValueError("icc requires the SN and IC configuration-space files")
+        log.info(
+            "icc: computing PSN/Wal from %s + %s (cached -> %s)",
+            icc_configspace_sn_file, icc_configspace_ic_file, cache_path,
+        )
         sn = np.loadtxt(icc_configspace_sn_file)
         while sn[0, 0] == 0.0:
             sn = sn[1:]

@@ -83,22 +83,44 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
     mcf22 = np.einsum("lnm,bnm->blnm", ml, m22)
     mcf13 = np.einsum("lnm,bn->blnm", ml, m13)
 
+    # Hermitian fold: the quadratic-form matrices act on the 2·nc+1
+    # independent REAL dofs of the rfft coefficients (pallas_kernels.py) —
+    # one real matmul per bl at evaluation time instead of four
+    from ..ops.pallas_kernels import herm_fold
+
+    n1 = pw.size
+    nl = len(ells)
+    m22_fold = herm_fold(m22)
+    mcf_all = np.concatenate([
+        mcf22.reshape(mcf22.shape[0] * nl, n1, n1),
+        mcf13.reshape(mcf13.shape[0] * nl, n1, n1),
+    ])
+    mcf_fold = herm_fold(mcf_all)
+
     def c(x):
         return cplx.split(x)
+
+    nc = n1 // 2
+
+    def half(x):
+        r, i = cplx.split(x)
+        return r[nc:], i[nc:]
 
     return dict(
         plan_pk=plan_pk,
         plan_cf=plan_cf,
         kin_cut_index=kin_cut_index,
-        kpow22=c(kpow22),
+        kpow22_half=half(kpow22),
         a13=c(a13),
         a11=c(a11),
         act=c(act),
         act_nnlo=c(act_nnlo),
-        m22=c(m22),
-        mcf22=c(mcf22),
-        mcf13=c(mcf13),
-        spow=c(spow),
+        m22_fold=m22_fold,
+        mcf_fold=mcf_fold,
+        n22=m22.shape[0],
+        n13=m13.shape[0],
+        spow_half=half(spow),
+        nc=nc,
         k=k,
         s=s,
     )
@@ -135,24 +157,24 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     else:
         coef_cf = fftlog_coef(nt["plan_cf"], f_cut if cfg.ir_cutoff == "resum" else plin_kin)
 
-    kpow22 = _as_pair(nt["kpow22"], dtype)
     a13 = _as_pair(nt["a13"], dtype)
     a11 = _as_pair(nt["a11"], dtype)
     act = _as_pair(nt["act"], dtype)
     act_nnlo = _as_pair(nt["act_nnlo"], dtype)
-    m22 = _as_pair(nt["m22"], dtype)
-    mcf22 = _as_pair(nt["mcf22"], dtype)
-    mcf13 = _as_pair(nt["mcf13"], dtype)
-    spow_pair = _as_pair(nt["spow"], dtype)
+    kpow22_half = _as_pair(nt["kpow22_half"], dtype)
+    spow_half = _as_pair(nt["spow_half"], dtype)
+    m22_fold = jnp.asarray(nt["m22_fold"], dtype)
+    mcf_fold = jnp.asarray(nt["mcf_fold"], dtype)
+    nc = nt["nc"]
 
-    from ..ops.pallas_kernels import quad_form
+    from ..ops.pallas_kernels import herm_w, quad_form_real
 
     # ---- P-side -----------------------------------------------------------
     # T[..., n, k] = c_n · k^{ν_n + 3/2};  P22_bk = Re Σ_{nm} T_nk T_mk M22_bnm
-    # — a quadratic form in the spectral coefficients; quad_form dispatches
-    # to a walker-grouped contraction under vmap (ops/pallas_kernels.py)
-    t_pk = cplx.cmul((coef_pk[0][..., None], coef_pk[1][..., None]), kpow22)
-    p22 = quad_form(t_pk[0], t_pk[1], m22[0], m22[1])
+    # — Hermitian-folded to a REAL quadratic form (one matmul per b, walker-
+    # grouped under vmap; ops/pallas_kernels.py)
+    w_pk = herm_w(coef_pk, kpow22_half, nc)
+    p22 = quad_form_real(w_pk, m22_fold)
     p13_kernel = cplx.ceinsum_real("...n,nbk->...bk", coef_pk, a13)
 
     # ---- CF-side ----------------------------------------------------------
@@ -161,18 +183,11 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     cct_nnlo = cplx.ceinsum_real("...n,nls->...ls", coef_cf, act_nnlo)
     # Z[..., n, s] = c_n s^{-ν_n - 3} (each factor carries the full s-power,
     # matching the reference contraction pybird.py:1103-1125); C22/C13 are
-    # the same quadratic form, evaluated in one stacked call
-    z = cplx.cmul((coef_cf[0][..., None], coef_cf[1][..., None]), spow_pair)
-    n22b, nl = mcf22[0].shape[0], mcf22[0].shape[1]
-    n13b = mcf13[0].shape[0]
-    n_ = mcf22[0].shape[2]
-    mr_all = jnp.concatenate(
-        [mcf22[0].reshape(n22b * nl, n_, n_), mcf13[0].reshape(n13b * nl, n_, n_)]
-    )
-    mi_all = jnp.concatenate(
-        [mcf22[1].reshape(n22b * nl, n_, n_), mcf13[1].reshape(n13b * nl, n_, n_)]
-    )
-    c_all = quad_form(z[0], z[1], mr_all, mi_all)  # (..., (28+10)·nl, ns)
+    # the same folded quadratic form, evaluated in one stacked call
+    w_cf = herm_w(coef_cf, spow_half, nc)
+    n22b, n13b = nt["n22"], nt["n13"]
+    nl = a11[0].shape[1]
+    c_all = quad_form_real(w_cf, mcf_fold)  # (..., (28+10)·nl, ns)
     ns_ = c_all.shape[-1]
     c22 = jnp.swapaxes(
         c_all[..., : n22b * nl, :].reshape(c_all.shape[:-2] + (n22b, nl, ns_)),

@@ -81,6 +81,16 @@ def build_resum_tables(cfg: EFTConfig, lambda_ir: float = 0.2) -> dict:
     kpow = kr[None, :] ** (-fft.pow[:, None] - 3.0)  # (n+1, nkr)
     air = np.einsum("an,nk->nak", m, kpow)
 
+    # the padding-mode FFTLog is LINEAR in the s-grid values, so the whole
+    # back-transform (spline-resample -> DFT -> Bessel moments -> k powers)
+    # folds into ONE real constant matrix: irn = integ @ air_fold.  This is
+    # the "fuse the FFTLog matmul" optimization of the resum stage —
+    # algebraic, not a kernel (reference hot path pybird.py:1409-1462).
+    embed = np.zeros((sr.size, fft.n))
+    embed[:, plan.ileft:plan.iright] = plan.smid.T
+    g = plan.gre + 1j * plan.gim  # (n, n+1)
+    air_fold = np.real(embed @ g @ air.reshape(fft.n + 1, na * kr.size))
+
     # X/Y filter FFTLog (pybird.py:1293-1296)
     xfft = HostFFTLog(n=cfg.nfft_irfilter, xmin=1.5e-5, xmax=10.0, bias=-2.6)
     kin = cfg.kin
@@ -109,6 +119,8 @@ def build_resum_tables(cfg: EFTConfig, lambda_ir: float = 0.2) -> dict:
         nn=nn,
         plan=plan,
         air=cplx.split(air),
+        air_fold=air_fold,
+        nkr=kr.size,
         xplan=xplan,
         x_icut=icut,
         damp=damp,
@@ -162,9 +174,10 @@ def _ir_correction(rt: dict, cfg: EFTConfig, xpyp, cf):
         cf = cf @ jnp.asarray(rt["extract"], dtype).T
     # (..., L..., 2nir, nsr): broadcast the filter powers against cf
     integ = cf[..., None, :] * _expand(xpyp, cf.ndim - xpyp.ndim + 1)
-    coef = fftlog_coef(rt["plan"], integ)  # (..., L..., 2nir, n+1)
-    air = (jnp.asarray(rt["air"][0], dtype), jnp.asarray(rt["air"][1], dtype))
-    irn = cplx.ceinsum_real("...jn,nak->...jak", coef, air)  # (..., 2nir, na, nkr)
+    # fused back-transform: one real matmul replaces the FFTLog + complex
+    # Bessel contraction (air_fold, built in Phase A)
+    irn = integ @ jnp.asarray(rt["air_fold"], dtype)
+    irn = irn.reshape(irn.shape[:-1] + (rt["na"], rt["nkr"]))
     irn = irn * jnp.asarray(rt["k2p"], dtype)[:, None, :]
     shape = irn.shape[:-3] + (rt["nn"], irn.shape[-1])
     irn = irn.reshape(shape)  # index u = j*na + v, v fastest — matches ref

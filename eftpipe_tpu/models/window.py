@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import hashlib
+import logging
 import numpy as np
 import jax.numpy as jnp
 from pathlib import Path
@@ -38,6 +39,9 @@ from ..utils.io import atomic_save_npz
 from .config import EFTConfig
 from .bird import BirdState
 from .transforms import map_pk_fields
+
+
+log = logging.getLogger("eftpipe_tpu.window")
 
 
 class MetaInfoError(Exception):
@@ -189,6 +193,8 @@ def build_window_tables(
                 else:
                     wal = None
         if wal is not None:
+            log.info("window: loaded fourier matrix %s", wf)
+        if wal is not None:
             if wal.shape[:2] != (na, nl):
                 raise MetaInfoError(
                     f"window fourier matrix shape {wal.shape} does not match "
@@ -224,9 +230,14 @@ def build_window_tables(
         cache_path = Path(cache_dir) / f"window_{key}.npz"
         if cache_path.exists():
             wal = np.load(cache_path)["wal"]
+            log.info("window: loaded cached matrix %s", cache_path)
     if wal is None:
         if window_configspace_file is None:
             raise ValueError("window_configspace_file required to compute the window")
+        log.info(
+            "window: computing W_al from %s (na=%d nl=%d nmax=%d, cached -> %s)",
+            window_configspace_file, na, nl, nmax, cache_path,
+        )
         sw, qq = load_configspace_window(window_configspace_file, nq)
         wal = compute_wal(
             cfg, sw, qq, p, na, nl, nmax=nmax, xmin_factor=xmin_factor,

@@ -197,6 +197,119 @@ def _quad_form_jvp(primals, tangents):
     return y, dy
 
 
+# ---------------------------------------------------------------------------
+# Hermitian-folded REAL quadratic form
+# ---------------------------------------------------------------------------
+#
+# The FFTLog coefficients come from an rfft of REAL grid values, so
+# z_{nc-j} = conj(z_{nc+j}) at every s (the s-powers are Hermitian in n too).
+# Writing z = A w with w the 257 independent real dofs
+# (w = [Re z_nc, Re z_{nc+1..}, Im z_{nc+1..}]) turns the complex quadratic
+# form into a real one with a REAL constant matrix:
+#
+#     Re(zᵀ M z) = wᵀ Re(Aᵀ M A) w ≡ wᵀ M̃ w
+#
+# M̃ is built once in Phase A (models/nonlinear.py); per evaluation the CF/P22
+# contraction is then ONE real matmul per bl instead of four — a 4x FLOP cut
+# and 4x less HBM traffic for the V intermediate.  This is the "fuse the
+# FFTLog into the quad form" optimization done algebraically instead of as a
+# Pallas kernel.
+
+
+def herm_fold_matrix(n1: int) -> np.ndarray:
+    """The (N, 2·nc+1) complex map A with z = A w (N = 2nc+1 odd)."""
+    nc = n1 // 2
+    a = np.zeros((n1, n1), dtype=complex)
+    a[nc, 0] = 1.0
+    j = np.arange(1, nc + 1)
+    a[nc + j, j] = 1.0
+    a[nc - j, j] = 1.0
+    a[nc + j, nc + j] = 1j
+    a[nc - j, nc + j] = -1j
+    return a
+
+
+def herm_fold(m: np.ndarray) -> np.ndarray:
+    """Host: fold a (..., N, N) complex quadratic-form matrix to the real
+    M̃ = Re(Aᵀ M A) acting on the independent dofs."""
+    a = herm_fold_matrix(m.shape[-1])
+    return np.real(np.einsum("nw,...nm,mv->...wv", a, m, a, optimize=True))
+
+
+def herm_w(coef, pw_half, nc: int):
+    """Per-eval w(s) from split coefficients and the HALF power table.
+
+    coef: (cre, cim) each (..., N); pw_half: (pr, pi) each (nc+1, S) —
+    the n ≥ nc slice of the k/s-power factors.  Returns (..., N, S) real.
+    """
+    cr = coef[0][..., nc:, None]
+    ci = coef[1][..., nc:, None]
+    pr, pi = pw_half
+    zr = cr * pr - ci * pi
+    zi = cr * pi + ci * pr
+    return jnp.concatenate([zr, zi[..., 1:, :]], axis=-2)
+
+
+def qf_real_xla(w, m):
+    """w: (..., N, S); m: (BL, N, N) → (..., BL, S)."""
+    v = jnp.einsum("...ms,bnm->...bns", w, m)
+    return jnp.einsum("...ns,...bns->...bs", w, v)
+
+
+def qf_real_grouped(w, m, group: int = 8):
+    """Walker-grouped real contraction (see cf_contract_grouped)."""
+    nw, n, s = w.shape
+    g = max(1, min(group, nw))
+    wp = _cdiv(nw, g) * g
+    if wp != nw:
+        w = jnp.pad(w, [(0, wp - nw), (0, 0), (0, 0)])
+    wg = w.reshape(wp // g, g, n, s).transpose(0, 2, 1, 3).reshape(
+        wp // g, n, g * s)
+    out = qf_real_xla(wg, m)
+    bl = m.shape[0]
+    out = out.reshape(wp // g, bl, g, s).transpose(0, 2, 1, 3).reshape(
+        wp, bl, s)
+    return out[:nw]
+
+
+@jax.custom_batching.custom_vmap
+def _qf_real_primal(w, m):
+    return qf_real_xla(w, m)
+
+
+@_qf_real_primal.def_vmap
+def _qf_real_vmap(axis_size, in_batched, w, m):
+    wb, mb = in_batched
+    if mb or not wb:
+        return qf_real_xla(w, m), True
+    return qf_real_grouped(w, m), True
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=())
+def quad_form_real(w, m):
+    """wᵀ M w over the folded spectral index — the Hermitian-reduced form of
+    :func:`quad_form` (same custom_vmap walker grouping + custom_jvp)."""
+    return _qf_real_primal(w, m)
+
+
+@functools.partial(quad_form_real.defjvp, symbolic_zeros=True)
+def _qf_real_jvp(primals, tangents):
+    w, m = primals
+    dw, dm = tangents
+    y = quad_form_real(w, m)
+
+    def bil(a, b):
+        v = jnp.einsum("...ms,bnm->...bns", b, m)
+        return jnp.einsum("...ns,...bns->...bs", a, v)
+
+    zero = jnp.zeros_like(w)
+    dw = zero if isinstance(dw, jax.custom_derivatives.SymbolicZero) else dw
+    dy = bil(dw, w) + bil(w, dw)
+    if not isinstance(dm, jax.custom_derivatives.SymbolicZero):
+        dy = dy + qf_real_xla(w, dm)
+    return y, dy
+
+
 def pallas_enabled() -> bool:
     if os.environ.get("EFTPIPE_TPU_PALLAS", "1") == "0":
         return False

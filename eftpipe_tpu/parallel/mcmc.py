@@ -18,6 +18,7 @@ unchanged.
 from __future__ import annotations
 
 import json
+import time
 import os
 import numpy as np
 from dataclasses import dataclass, field
@@ -25,6 +26,7 @@ from pathlib import Path
 from typing import Any, Callable
 
 import jax
+import logging
 import jax.numpy as jnp
 
 from .sampler import EnsembleSampler
@@ -177,7 +179,9 @@ class MCMCDriver:
         rminus1 = np.full(self.ndim, np.inf)
         accepts = []
         blocks_run = len(chain_blocks)
+        logger = logging.getLogger("eftpipe_tpu.mcmc")
         while nsteps_done < max_steps:
+            block_t0 = time.perf_counter()
             nsteps = min(self.block, max_steps - nsteps_done)
             key, sub = jax.random.split(key)
             chain, chain_logp, acc = self.sampler.run(sub, walkers, nsteps, thin=self.thin)
@@ -194,6 +198,13 @@ class MCMCDriver:
             if blocks_run >= self.min_blocks_before_check:
                 rminus1 = gelman_rubin(full, burn_frac=self.burn_frac) - 1.0
             self._save_state(key, walkers, chain_blocks, logp_blocks, nsteps_done)
+            logger.info(
+                "block %d: steps=%d/%d max(R^-1)=%.4g accept=%.3f (%.1fs, "
+                "%.1f evals/s)", blocks_run, nsteps_done, max_steps,
+                float(np.max(rminus1)), float(acc),
+                time.perf_counter() - block_t0,
+                nsteps * self.nwalkers / max(time.perf_counter() - block_t0, 1e-9),
+            )
             if progress_fn is not None:
                 progress_fn(nsteps_done, float(np.max(rminus1)), float(acc))
             if np.max(rminus1) < self.rhat_tol:
