@@ -106,12 +106,55 @@ def _fiducial_multipoles(pipe: TracerPipeline, provider, params, basis, binning)
     return ls, np.asarray(kret), np.asarray(compute(jparams))
 
 
+def _make_provider(cfg, zeff, om_fid, cosmology: str):
+    from ..models.ap import lcdm_da, lcdm_hubble
+
+    da_fid, h_fid = lcdm_da(om_fid, zeff), lcdm_hubble(om_fid, zeff)
+    if cosmology == "solver_emulator":
+        from ..boltzmann.emulator import SolverEmulatorProvider
+
+        return SolverEmulatorProvider.load(
+            cfg=cfg, zeff=zeff, da_fid=da_fid, h_fid=h_fid
+        )
+    return EisensteinHuProvider(cfg=cfg, zeff=zeff, da_fid=da_fid, h_fid=h_fid)
+
+
+def _resolve_cosmology(cosmology: str | None) -> str:
+    if cosmology is not None:
+        return cosmology
+    from ..boltzmann.emulator import DEFAULT_PK_ARTIFACT
+
+    # Boltzmann-grade by default when the trained solver-emulator artifact
+    # ships; EH98 otherwise (both fully on-device)
+    return "solver_emulator" if DEFAULT_PK_ARTIFACT.exists() else "eh98"
+
+
 def build_flagship(
     workdir, dtype=jnp.float64, with_window: bool = True, window_nmax: int = 2048,
+    cosmology: str | None = None,
 ) -> FlagshipModel:
+    import json
+
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     cache = workdir / "cache"
+    cosmology = _resolve_cosmology(cosmology)
+
+    # mock data/cov are generated from the model itself: a workdir built for
+    # a different cosmology provider (or theory version) must regenerate
+    meta_file = workdir / "flagship_meta.json"
+    meta = {"cosmology": cosmology, "version": 2}
+    stale = True
+    if meta_file.exists():
+        try:
+            stale = json.loads(meta_file.read_text()) != meta
+        except json.JSONDecodeError:
+            stale = True
+    if stale:
+        for name in TRACERS:
+            (workdir / f"data_{name}.txt").unlink(missing_ok=True)
+        (workdir / "cov.txt").unlink(missing_ok=True)
+        meta_file.write_text(json.dumps(meta))
 
     om_fid = (FIDUCIAL["omega_b"] + FIDUCIAL["omega_cdm"]) / FIDUCIAL["h"] ** 2
 
@@ -137,12 +180,7 @@ def build_flagship(
             window=window,
             cache_dir=cache,
         )
-        providers[name] = EisensteinHuProvider(
-            cfg=cfg,
-            zeff=tc["zeff"],
-            da_fid=lcdm_da(om_fid, tc["zeff"]),
-            h_fid=lcdm_hubble(om_fid, tc["zeff"]),
-        )
+        providers[name] = _make_provider(cfg, tc["zeff"], om_fid, cosmology)
         kout[name] = np.arange(0.01, 0.2049, 0.005)
         fid_params.update({f"{name}_{b}": tc[b] for b in BIAS_NAMES})
         specs[name] = TracerSpec(

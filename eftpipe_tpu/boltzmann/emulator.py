@@ -216,3 +216,289 @@ class EmulatorProvider:
         else:
             qperp = qpar = 1.0
         return CosmoInputs(plin=pk, f=f, qperp=qperp, qpar=qpar)
+
+
+# ======================================================================
+# Boltzmann-solver-backed P(k) emulator
+# ======================================================================
+#
+# The transfer emulator above plays the reference's matryoshka role (EH98 /
+# external-table oracles).  The classes below emulate the *on-device
+# Einstein-Boltzmann solver* (boltzmann/einstein_boltzmann.py) — the
+# Boltzmann-grade path the reference gets from CLASS
+# (/root/reference/eftpipe/boltzmann.py:191-243):
+#
+#   inputs  x = (omega_b, omega_cdm, h)          [m_nu, N_ur, YHe fixed]
+#   outputs log T_eff(k, z) for total matter and cb, log r_drag
+#
+# As and ns never enter the training: the transfer T_eff = |delta(k,z)/zeta|
+# is primordial-independent, so P(k) = P_zeta(As, ns, k) x T_eff^2 is exact
+# in those directions.  Growth f(z) = dln sigma8/dln a and sigma8(z) are
+# *derived* from the emulated spectra on a z grid uniform in ln a, not
+# separately emulated.  Dimensionality reduction is a PCA basis fit on the
+# training spectra (the standard cosmopower-style recipe), with an MLP
+# mapping normalized inputs to PCA coefficients.
+
+
+@dataclass(eq=False)
+class PkEmulator:
+    """PCA+MLP emulator of the EB solver's log-transfer outputs."""
+
+    params: Any                 # MLP pytree
+    x_mean: jnp.ndarray
+    x_std: jnp.ndarray
+    c_mean: jnp.ndarray         # PCA coefficient scaler
+    c_std: jnp.ndarray
+    pca_mean: jnp.ndarray       # (d,)
+    pca_comps: jnp.ndarray      # (ncomp, d)
+    kgrid: np.ndarray           # solver k grid, 1/Mpc
+    z_grid: np.ndarray          # output redshifts (uniform in ln a)
+    input_names: tuple = ("omega_b", "omega_cdm", "h")
+
+    def raw(self, x):
+        xn = (jnp.asarray(x) - self.x_mean) / self.x_std
+        c = mlp_apply(self.params, xn) * self.c_std + self.c_mean
+        return self.pca_mean + c @ self.pca_comps
+
+    def unpack(self, y):
+        """y (d,) -> (log T_m (nz, nk), log T_cb (nz, nk), log rdrag)."""
+        nz, nk = len(self.z_grid), len(self.kgrid)
+        log_tm = y[: nz * nk].reshape(nz, nk)
+        log_tcb = y[nz * nk: 2 * nz * nk].reshape(nz, nk)
+        return log_tm, log_tcb, y[-1]
+
+    def save(self, path):
+        flat = {}
+        for i, layer in enumerate(self.params):
+            flat[f"w{i}"] = np.asarray(layer["w"])
+            flat[f"b{i}"] = np.asarray(layer["b"])
+        np.savez_compressed(
+            path, kgrid=self.kgrid, z_grid=self.z_grid,
+            x_mean=np.asarray(self.x_mean), x_std=np.asarray(self.x_std),
+            c_mean=np.asarray(self.c_mean), c_std=np.asarray(self.c_std),
+            pca_mean=np.asarray(self.pca_mean),
+            pca_comps=np.asarray(self.pca_comps),
+            nlayers=len(self.params), **flat,
+        )
+
+    @classmethod
+    def load(cls, path) -> "PkEmulator":
+        with np.load(path) as z:
+            n = int(z["nlayers"])
+            params = [
+                {"w": jnp.asarray(z[f"w{i}"]), "b": jnp.asarray(z[f"b{i}"])}
+                for i in range(n)
+            ]
+            return cls(
+                params=params, kgrid=z["kgrid"], z_grid=z["z_grid"],
+                x_mean=jnp.asarray(z["x_mean"]), x_std=jnp.asarray(z["x_std"]),
+                c_mean=jnp.asarray(z["c_mean"]), c_std=jnp.asarray(z["c_std"]),
+                pca_mean=jnp.asarray(z["pca_mean"]),
+                pca_comps=jnp.asarray(z["pca_comps"]),
+            )
+
+
+def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 64,
+                      width: int = 192, depth: int = 3, steps: int = 20000,
+                      lr: float = 2e-3, seed: int = 0,
+                      val_frac: float = 0.1) -> tuple:
+    """Fit the PCA basis + MLP on solver outputs.
+
+    x: (n, 3) raw inputs; y: (n, d) raw targets (log transfers + log rdrag).
+    Returns (PkEmulator, dict of validation errors).
+    """
+    import optax
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    nval = max(4, int(val_frac * n))
+    vi, ti = perm[:nval], perm[nval:]
+
+    pca_mean = y[ti].mean(0)
+    yc = y[ti] - pca_mean
+    _, _, vt = np.linalg.svd(yc, full_matrices=False)
+    comps = vt[:ncomp]                       # (ncomp, d)
+    c = yc @ comps.T                         # training coefficients
+    c_mean, c_std = c.mean(0), c.std(0) + 1e-12
+    x_mean, x_std = x[ti].mean(0), x[ti].std(0) + 1e-12
+
+    xn = jnp.asarray((x[ti] - x_mean) / x_std)
+    cn = jnp.asarray((c - c_mean) / c_std)
+
+    key = jax.random.PRNGKey(seed)
+    sizes = [x.shape[1]] + [width] * depth + [ncomp]
+    params = init_mlp(key, sizes)
+    sched = optax.cosine_decay_schedule(lr, steps)
+    opt = optax.adam(sched)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, xb, cb):
+        def loss(p):
+            return jnp.mean((mlp_apply(p, xb) - cb) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, l
+
+    nb = xn.shape[0]
+    batch = min(128, nb)
+    for i in range(steps):
+        idx = rng.integers(0, nb, batch)
+        params, state, l = step(params, state, xn[idx], cn[idx])
+
+    emu = PkEmulator(
+        params=params, x_mean=jnp.asarray(x_mean), x_std=jnp.asarray(x_std),
+        c_mean=jnp.asarray(c_mean), c_std=jnp.asarray(c_std),
+        pca_mean=jnp.asarray(pca_mean), pca_comps=jnp.asarray(comps),
+        kgrid=np.asarray(kgrid), z_grid=np.asarray(z_grid),
+    )
+    # validation: max |Delta log T| == max relative P error / 2
+    pred = np.stack([np.asarray(emu.raw(xi)) for xi in x[vi]])
+    err = np.abs(pred - y[vi])
+    report = {
+        "val_max_abs_logT": float(err[:, :-1].max()),
+        "val_rms_logT": float(np.sqrt((err[:, :-1] ** 2).mean())),
+        "val_max_abs_log_rdrag": float(err[:, -1].max()),
+        "n_train": int(ti.size), "n_val": int(vi.size),
+    }
+    return emu, report
+
+
+_ARTIFACT_DIR = Path(__file__).resolve().parent / "artifacts"
+DEFAULT_PK_ARTIFACT = _ARTIFACT_DIR / "pk_emulator_mnu06.npz"
+
+
+@dataclass(eq=False)
+class SolverEmulatorProvider:
+    """Production cosmology provider: emulated EB-solver spectra, exact
+    on-device background (H, D_A from one cumulative quadrature), f and
+    sigma8 derived from the emulated spectra on the z grid.
+
+    Sampled parameters: omega_b, omega_cdm, h, ln10As, ns (As/ns enter
+    analytically through the primordial spectrum).  Microseconds per
+    evaluation, vmappable — the CLASS-speed bottleneck of the reference
+    (classynu.yaml 'speed: 0.2') is gone.
+    """
+
+    cfg: EFTConfig
+    zeff: float
+    emulator: PkEmulator
+    da_fid: float | None = None    # dimensionless H0*DA of the fiducial
+    h_fid: float | None = None     # dimensionless H/H0 of the fiducial
+    use_cb: bool = False
+    use_ap: bool = True
+    rdrag_fid: float | None = None
+    h0_fid: float | None = None
+    clamp: bool = True             # clamp inputs to the training box
+
+    @classmethod
+    def load(cls, cfg: EFTConfig, zeff: float, path=None, **kwargs):
+        path = path or DEFAULT_PK_ARTIFACT
+        return cls(cfg=cfg, zeff=zeff, emulator=PkEmulator.load(path), **kwargs)
+
+    # -- core evaluation ----------------------------------------------------
+    def _eval(self, params):
+        emu = self.emulator
+        x = jnp.stack([
+            jnp.asarray(params["omega_b"], jnp.result_type(float)),
+            jnp.asarray(params["omega_cdm"], jnp.result_type(float)),
+            jnp.asarray(params["h"], jnp.result_type(float)),
+        ])
+        if self.clamp:
+            lo = emu.x_mean - 3.5 * emu.x_std * 1.732  # ~ box edge for U[a,b]
+            hi = emu.x_mean + 3.5 * emu.x_std * 1.732
+            x = jnp.clip(x, lo, hi)
+        log_tm, log_tcb, log_rd = emu.unpack(emu.raw(x))
+        k = jnp.asarray(emu.kgrid)
+        as_ = 1e-10 * jnp.exp(params["ln10As"])
+        pzeta = 2.0 * jnp.pi**2 / k**3 * as_ * (k / 0.05) ** (params["ns"] - 1.0)
+        pk_m = pzeta[None, :] * jnp.exp(2.0 * log_tm)    # (nz, nk) Mpc^3
+        pk_cb = pzeta[None, :] * jnp.exp(2.0 * log_tcb)
+        return k, pk_m, pk_cb, jnp.exp(log_rd)
+
+    def _sigma8_f(self, params, k, pk):
+        """sigma8(z-grid) + growth f(z-grid) = dln sigma8/dln a (uniform-in-
+        ln-a z grid -> central differences)."""
+        r8 = 8.0 / params["h"]
+        x = k * r8
+        w = 3.0 * (jnp.sin(x) - x * jnp.cos(x)) / x**3
+        integ = k[None, :] ** 3 * pk * (w * w)[None, :] / (2.0 * jnp.pi**2)
+        s8 = jnp.sqrt(jnp.trapezoid(integ, jnp.log(k), axis=-1))
+        lna = jnp.log(1.0 / (1.0 + jnp.asarray(self.emulator.z_grid)))
+        dl = lna[1] - lna[0]
+        ls8 = jnp.log(s8)
+        f = jnp.gradient(ls8) / dl
+        return s8, f, lna
+
+    def _zinterp(self, lna_grid, table, zeff):
+        lna = jnp.log(1.0 / (1.0 + zeff))
+        return jnp.interp(lna, lna_grid, table)
+
+    def _background(self, params):
+        """Exact flat-LCDM(+nu as matter) background at zeff: H/H0, H0*DA.
+        Radiation is included; late-time nu treated as matter (exact to
+        <1e-4 at z < 1.1 for mnu = 0.06 eV)."""
+        from .eh98 import _GL_X, _GL_W
+
+        h2 = params["h"] ** 2
+        om_g = 2.47282e-5 / h2 * (1.0 + 0.2271 * 3.044)
+        om_m = (params["omega_b"] + params["omega_cdm"] + 0.06 / 93.14) / h2
+        om_l = 1.0 - om_m - om_g
+
+        def e_of_z(z):
+            return jnp.sqrt(om_m * (1 + z) ** 3 + om_g * (1 + z) ** 4 + om_l)
+
+        z = self.zeff
+        zp = z * (_GL_X + 1.0) / 2.0
+        chi = jnp.sum(_GL_W * z / 2.0 / e_of_z(zp))
+        return e_of_z(jnp.asarray(z)), chi / (1.0 + z)
+
+    # -- provider interface ---------------------------------------------------
+    def inputs(self, params) -> CosmoInputs:
+        k, pk_m, pk_cb, _ = self._eval(params)
+        pk = pk_cb if self.use_cb else pk_m
+        lna_grid = jnp.log(1.0 / (1.0 + jnp.asarray(self.emulator.z_grid)))
+        # z interpolation of log P (linear in ln a; grid spacing ~0.03)
+        lpk = jnp.log(pk)
+        lna = jnp.log(1.0 / (1.0 + self.zeff))
+        w = (lna - lna_grid[0]) / (lna_grid[1] - lna_grid[0])
+        i0 = jnp.clip(jnp.floor(w).astype(int), 0, lna_grid.size - 2)
+        ww = w - i0
+        lpk_z = lpk[i0] * (1 - ww) + lpk[i0 + 1] * ww
+        # resample onto cfg.kin (h/Mpc) in (Mpc/h)^3
+        h = params["h"]
+        kin_mpc = jnp.asarray(self.cfg.kin) * h
+        plin = jnp.exp(jnp.interp(jnp.log(kin_mpc), jnp.log(k), lpk_z)) * h**3
+        s8, fgrid, lna_g = self._sigma8_f(params, k, pk)
+        f = self._zinterp(lna_g, fgrid, self.zeff)
+        if self.use_ap and self.da_fid is not None:
+            e, da = self._background(params)
+            qperp = da / self.da_fid
+            qpar = self.h_fid / e
+        else:
+            qperp = qpar = 1.0
+        return CosmoInputs(plin=plin, f=f, qperp=qperp, qpar=qpar)
+
+    def derived(self, params) -> dict:
+        k, pk_m, pk_cb, rdrag = self._eval(params)
+        pk = pk_cb if self.use_cb else pk_m
+        s8, fgrid, lna_g = self._sigma8_f(params, k, pk)
+        f = self._zinterp(lna_g, fgrid, self.zeff)
+        s8z = self._zinterp(lna_g, s8, self.zeff)
+        if self.use_ap and self.da_fid is not None:
+            e, da = self._background(params)
+            qperp = da / self.da_fid
+            qpar = self.h_fid / e
+        else:
+            qperp = qpar = jnp.asarray(1.0)
+        if self.rdrag_fid is not None and self.h0_fid is not None:
+            ratio = (self.rdrag_fid * self.h0_fid) / (rdrag * params["h"])
+            alperp, alpara = qperp * ratio, qpar * ratio
+        else:
+            alperp, alpara = qperp, qpar
+        return dict(fz=f, fsigma8_z=f * s8z, alperp=alperp, alpara=alpara,
+                    sigma8_z=s8z, rdrag=rdrag)

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Train the production P(k) emulator on the Einstein–Boltzmann solver.
+
+Generates solver spectra over a Sobol box in (ω_b, ω_cdm, h) with the
+production neutrino setup (Σm_ν = 0.06 eV, degenerate over 3 species,
+N_ur = 0.00641 — the reference classynu convention), fits the PCA+MLP
+emulator and writes the artifact to
+``eftpipe_tpu/boltzmann/artifacts/pk_emulator_mnu06.npz``.
+
+Samples are checkpointed incrementally to ``--workdir`` so the run can be
+interrupted and resumed.  ~12 s/solve on CPU; the default 320 samples take
+about an hour.
+
+Usage:
+    python tools/train_solver_emulator.py [--n 320] [--workdir /tmp/ebtrain]
+"""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+# force CPU: the axon TPU plugin otherwise hijacks the backend, and the
+# solver needs float64 (assignment, not setdefault — the session may pre-set
+# JAX_PLATFORMS=axon)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BOUNDS = {
+    # generous around the DR16 posterior; the provider clamps outside
+    "omega_b": (0.0195, 0.0255),
+    "omega_cdm": (0.075, 0.175),
+    "h": (0.55, 0.80),
+}
+# z grid uniform in ln a over the survey range, plus z=0 for sigma8(0)
+Z_GRID = np.exp(-np.linspace(np.log(1.0 / 2.05), 0.0, 13))[::-1] - 1.0
+# -> 13 nodes from z=0 to z=1.05
+
+
+def sobol(n, dim, seed=7):
+    from scipy.stats import qmc
+
+    return qmc.Sobol(d=dim, scramble=True, seed=seed).random(n)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=320)
+    ap.add_argument("--workdir", default="/tmp/ebtrain")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--ncomp", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--train-only", action="store_true",
+                    help="skip generation, fit on existing samples")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from eftpipe_tpu.boltzmann.thermo import CosmoParams
+    from eftpipe_tpu.boltzmann.einstein_boltzmann import EBSolver
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+
+    names = list(BOUNDS)
+    lo = np.array([BOUNDS[n][0] for n in names])
+    hi = np.array([BOUNDS[n][1] for n in names])
+    x = lo + (hi - lo) * sobol(args.n, len(names))
+    np.save(wd / "x.npy", x)
+
+    z_grid = Z_GRID
+    solver = None
+
+    if not args.train_only:
+        solver = EBSolver(z_out=z_grid.tolist(), kmax=1.6,
+                          growth_stencil=False)
+        kgrid = solver.k_mpc
+        np.save(wd / "kgrid.npy", kgrid)
+        np.save(wd / "zgrid.npy", np.sort(z_grid)[::-1])
+
+        for i in range(args.n):
+            out_i = wd / f"sample_{i:04d}.npz"
+            if out_i.exists():
+                continue
+            par = CosmoParams(
+                omega_b=jnp.asarray(x[i, 0]),
+                omega_cdm=jnp.asarray(x[i, 1]),
+                h=jnp.asarray(x[i, 2]),
+                ln10As=jnp.asarray(3.044), ns=jnp.asarray(0.9649),
+                m_ncdm=jnp.asarray(0.02), n_ur=jnp.asarray(0.00641),
+                deg_ncdm=3.0,
+            )
+            t0 = time.time()
+            lp = solver(par)
+            # store log transfers: P = Pzeta * T^2 with As/ns of the run —
+            # divide the primordial back out so the stored T is As/ns-free
+            k = np.asarray(lp.k_mpc)
+            as_ = 1e-10 * np.exp(3.044)
+            pzeta = 2 * np.pi**2 / k**3 * as_ * (k / 0.05) ** (0.9649 - 1.0)
+            log_tm = 0.5 * np.log(np.asarray(lp.pk) / pzeta[None, :])
+            log_tcb = 0.5 * np.log(np.asarray(lp.pk_cb) / pzeta[None, :])
+            np.savez(out_i, log_tm=log_tm, log_tcb=log_tcb,
+                     log_rdrag=np.log(float(lp.rs_drag)))
+            print(f"[{i + 1}/{args.n}] {time.time() - t0:.1f}s "
+                  f"x={x[i].round(4)}", flush=True)
+
+    # ---- fit ---------------------------------------------------------------
+    kgrid = np.load(wd / "kgrid.npy")
+    zgrid = np.load(wd / "zgrid.npy")
+    ys, xs = [], []
+    for i in range(args.n):
+        f = wd / f"sample_{i:04d}.npz"
+        if not f.exists():
+            continue
+        with np.load(f) as z:
+            ys.append(np.concatenate([
+                z["log_tm"].ravel(), z["log_tcb"].ravel(),
+                [float(z["log_rdrag"])],
+            ]))
+            xs.append(x[i])
+    print(f"fitting on {len(ys)} samples")
+
+    from eftpipe_tpu.boltzmann.emulator import train_pk_emulator
+
+    emu, report = train_pk_emulator(
+        np.asarray(xs), np.asarray(ys), kgrid, zgrid,
+        ncomp=args.ncomp, steps=args.steps,
+    )
+    print("validation:", report)
+
+    out = Path(args.out) if args.out else (
+        Path(__file__).resolve().parent.parent
+        / "eftpipe_tpu/boltzmann/artifacts/pk_emulator_mnu06.npz"
+    )
+    out.parent.mkdir(parents=True, exist_ok=True)
+    emu.save(out)
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()
