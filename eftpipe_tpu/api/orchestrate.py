@@ -458,16 +458,23 @@ class Analysis:
                 return x[list(order).index(name)]
             return x
 
-        # requirement negotiation (reference theory.py:500-555): a chained
-        # product needs internal multipoles up to l_max + 2
+        # requirement negotiation (reference theory.py:500-555): every tracer
+        # must compute internal multipoles up to the data's l_max (+2 when
+        # the block consumes chained multipoles).  Without this, a config
+        # whose theory block omits ``ls`` (e.g. a converted production YAML)
+        # would build an nl=2 pipeline against P4 data — and the flatten
+        # gather would silently CLAMP the out-of-range multipole index,
+        # serving P2 as "P4".
         for block in blocks.values():
             order = block.get("tracers", list(block.get("data", {})))
             chained = block.get("chained", False)
             for name in order:
-                if not per_tracer(chained, name, False, order):
-                    continue
                 data_ls = block["data"][name]["ls"]
-                need = max(data_ls) + 2
+                if isinstance(data_ls, int):
+                    data_ls = [data_ls]
+                need = max(data_ls) + (
+                    2 if per_tracer(chained, name, False, order) else 0
+                )
                 have = max(tracer_cfgs[name].get("ls", [0, 2]))
                 if need > have:
                     tracer_cfgs[name]["ls"] = list(range(0, need + 1, 2))

@@ -117,7 +117,7 @@ def build_schedule(k_mpc: np.ndarray, bg, th, lna_out: np.ndarray,
     r_gb = (4.0 / 3.0) * np.interp(dense, lna, np.asarray(bg.rho_g)) \
         / np.interp(dense, lna, np.asarray(bg.rho_b))
 
-    grids = []
+    grids, masks = [], []
     for k in np.asarray(k_mpc):
         lna_ini = min(np.log(a_ini_max), float(np.interp(x_ini / k, tau, lna)))
         in_tca = (tc * k < tca_k) & (tc * hh < tca_h)
@@ -144,8 +144,16 @@ def build_schedule(k_mpc: np.ndarray, bg, th, lna_out: np.ndarray,
                    abs(grid[i - 1] - lo) > 1e-12:
                     grid = np.insert(grid, i, lo)
         grids.append(grid)
+        # fiducial TCA mask per grid point: the in-kernel switch follows the
+        # SCHEDULE's fiducial cosmology, not the traced one — the step
+        # density after switch-off is then stiffness-safe for every
+        # cosmology in the box (a dynamic trigger exits earlier for low
+        # omega_b, hitting the stiff slip with TCA-sized steps)
+        masks.append(np.interp(grid, dense, in_tca.astype(float)) > 0.999)
 
-    return _pad_grids(grids) if pad else grids
+    if pad:
+        return _pad_grids(grids), _pad_masks(masks)
+    return grids, masks
 
 
 def _pad_grids(grids: list) -> np.ndarray:
@@ -154,6 +162,14 @@ def _pad_grids(grids: list) -> np.ndarray:
     for i, g in enumerate(grids):
         out[i, : g.size] = g
         out[i, g.size:] = g[-1]  # padded no-op steps (dlna = 0)
+    return out
+
+
+def _pad_masks(masks: list) -> np.ndarray:
+    n = max(m.size for m in masks)
+    out = np.zeros((len(masks), n), dtype=bool)
+    for i, m in enumerate(masks):
+        out[i, : m.size] = m
     return out
 
 
@@ -483,7 +499,7 @@ def _nc_rho(eps):
 
 
 @partial(jax.jit, static_argnames=())
-def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, out_idx):
+def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, tca_mask, out_idx):
     """Integrate one k-mode over its schedule; snapshot δ_m at out_idx."""
     lna0 = lna_grid[0]
     y_nc0 = _row_at(tab, 7, lna0)
@@ -500,17 +516,13 @@ def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, out_idx):
 
     def step(carry, inp):
         y, outs = carry
-        lna_a, lna_b, i = inp
+        lna_a, lna_b, tca, tca_b, i = inp
         bgv_a = _bgv_at(tab, lna_a)
         bgv_m = _bgv_at(tab, 0.5 * (lna_a + lna_b))
         bgv_b = _bgv_at(tab, lna_b)
         tau_a = _tau_at(tab, lna_a)
         tau_m = _tau_at(tab, 0.5 * (lna_a + lna_b))
         tau_b = _tau_at(tab, lna_b)
-
-        tc = 1.0 / jnp.maximum(bgv_a[8], 1e-30)
-        hh = bgv_a[0]
-        tca = (tc * k < TCA_K) & (tc * hh < TCA_H)
 
         # RK4 in ln a: dy/dlna = dy/dτ / ℋ
         d1 = lna_b - lna_a
@@ -523,8 +535,6 @@ def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, out_idx):
         f4 = _rhs(y4, k, tau_b, bgv_b, tca) / bgv_b[0]
         y_new = y + (d1 / 6.0) * (f1 + 2.0 * f2 + 2.0 * f3 + f4)
 
-        tc_b = 1.0 / jnp.maximum(bgv_b[8], 1e-30)
-        tca_b = (tc_b * k < TCA_K) & (tc_b * bgv_b[0] < TCA_H)
         y_new = jnp.where(tca_b, _tca_project(y_new, k, bgv_b), y_new)
 
         # snapshots
@@ -541,7 +551,8 @@ def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, out_idx):
     (_, outs), _ = jax.lax.scan(
         step,
         (y0, init_outs),
-        (lna_grid[:-1], lna_grid[1:], jnp.arange(n - 1)),
+        (lna_grid[:-1], lna_grid[1:], tca_mask[:-1], tca_mask[1:],
+         jnp.arange(n - 1)),
     )
     return outs[0], outs[1], zeta0
 
@@ -566,13 +577,14 @@ def _delta_m(y, k, bgv):
 
 def solve_perturbations(par: CosmoParams, tab: EBTables,
                         k_mpc: jnp.ndarray, lna_grids: jnp.ndarray,
+                        tca_masks: jnp.ndarray,
                         out_idx: jnp.ndarray) -> PerturbOut:
-    """vmapped solve over the k grid.  ``lna_grids``: (nk, n); ``out_idx``:
-    (nz, nk) from :func:`out_indices`."""
+    """vmapped solve over the k grid.  ``lna_grids``/``tca_masks``: (nk, n);
+    ``out_idx``: (nz, nk) from :func:`out_indices`."""
     dm, dcb, zeta = jax.vmap(
-        lambda k, g, oi: solve_k(par, tab, k, g, oi),
-        in_axes=(0, 0, 1),
-    )(k_mpc, lna_grids, out_idx)
+        lambda k, g, m, oi: solve_k(par, tab, k, g, m, oi),
+        in_axes=(0, 0, 0, 1),
+    )(k_mpc, lna_grids, tca_masks, out_idx)
     return PerturbOut(delta_m=dm.T, delta_cb=dcb.T, zeta_ini=zeta)
 
 
@@ -637,15 +649,16 @@ class EBSolver:
         self.lna_out = np.unique(np.asarray(lna_list))
         bg_f = background_tables(fid)
         th_f = thermo_tables(fid, bg_f)
-        raw = build_schedule(self.k_mpc, bg_f, th_f, self.lna_out,
-                             pad=False, **sched_opts)
+        raw, raw_masks = build_schedule(self.k_mpc, bg_f, th_f, self.lna_out,
+                                        pad=False, **sched_opts)
         # bucket the modes by schedule length: lockstep padding to the global
         # max would make every mode pay the k_max cost (~5x total waste)
         self.buckets = []
         for idx in bucket_indices([g.size for g in raw]):
             grids = _pad_grids([raw[i] for i in idx])
+            masks = _pad_masks([raw_masks[i] for i in idx])
             self.buckets.append(
-                (idx, grids, out_indices(grids, self.lna_out))
+                (idx, grids, masks, out_indices(grids, self.lna_out))
             )
 
     def __call__(self, par: CosmoParams) -> LinearPower:
@@ -657,9 +670,10 @@ class EBSolver:
         dm = jnp.zeros((nz_all, nk))
         dcb = jnp.zeros((nz_all, nk))
         zeta = jnp.zeros(nk)
-        for idx, grids, oidx in self.buckets:
+        for idx, grids, masks, oidx in self.buckets:
             o = solve_perturbations(
-                par, tab, k[idx], jnp.asarray(grids), jnp.asarray(oidx)
+                par, tab, k[idx], jnp.asarray(grids), jnp.asarray(masks),
+                jnp.asarray(oidx)
             )
             dm = dm.at[:, idx].set(o.delta_m)
             dcb = dcb.at[:, idx].set(o.delta_cb)

@@ -243,7 +243,30 @@ class Thermo(NamedTuple):
     tau_rec: jnp.ndarray     # visibility-peak conformal time (approx), Mpc
 
 
-def thermo_tables(par: CosmoParams, bg: Background) -> Thermo:
+def thermo_tables(par: CosmoParams, bg: Background,
+                  n_fine: int = 32768) -> Thermo:
+    """Thermodynamic history, downsampled onto ``bg``'s grid.
+
+    The recombination scan runs on an internal fine grid (``n_fine``; the
+    integrator's leading error is first order in dlna through the stiff
+    Saha→Peebles transition, and 4096 points leave a ~0.1% r_drag bias) and
+    the results are linearly interpolated onto the caller's grid.  Pass
+    ``n_fine=0`` to integrate directly on ``bg``'s grid.
+    """
+    if n_fine and n_fine > bg.lna.size:
+        bg_f = background_tables(par, n_grid=n_fine)
+        th_f = _thermo_on_grid(par, bg_f)
+        g = lambda t: jnp.interp(bg.lna, th_f.lna, t)
+        return Thermo(
+            lna=bg.lna, xe=g(th_f.xe), tm=g(th_f.tm), dkappa=g(th_f.dkappa),
+            cs2=g(th_f.cs2), r_bg=0.75 * bg.rho_b / bg.rho_g, rs=g(th_f.rs),
+            tau_drag=th_f.tau_drag, rs_drag=th_f.rs_drag, z_drag=th_f.z_drag,
+            tau_rec=th_f.tau_rec,
+        )
+    return _thermo_on_grid(par, bg)
+
+
+def _thermo_on_grid(par: CosmoParams, bg: Background) -> Thermo:
     lna = bg.lna
     a = jnp.exp(lna)
     dlna = lna[1] - lna[0]
@@ -257,53 +280,90 @@ def thermo_tables(par: CosmoParams, bg: Background) -> Thermo:
     # H(a) in 1/s for the rate equations
     h_si = bg.conf_h / a * (C_SI / MPC_M)
 
-    # --- scan: hydrogen (Saha → Peebles backward-Euler) + T_M ---------------
-    def step(carry, inp):
-        x_prev, t_prev = carry
-        tg_i, nh_i, h_i, a_i = inp
-
-        x_saha, x_he2, x_he3 = _saha_xe(tg_i, nh_i, f_he)
-
-        tm = t_prev
+    # --- scan: hydrogen (Saha → Peebles) + T_M ------------------------------
+    # Second-order in dlna: the Peebles update is Crank-Nicolson (the
+    # implicit half is still a scalar quadratic; the Lyman-alpha C factor is
+    # re-iterated once at the provisional root), the matter temperature is an
+    # exact exponential step with midpoint coefficients (L-stable — CN would
+    # ring in the early Compton-locked regime where Γ/H ~ 1e8).  Backward
+    # Euler left an O(dlna) global error that biased z_drag by ~5.
+    def peebles_rate(x, tm, tg_i, nh_i, h_i):
         alpha = _alpha_b(tm)
         beta2 = alpha * (2.0 * jnp.pi * ME * KB * tm / HP**2) ** 1.5 * jnp.exp(
             jnp.clip(-B2_EV * EV / (KB * tm), -300.0, 0.0)
         )
         boltz = jnp.exp(jnp.clip(-E21_EV * EV / (KB * tg_i), -300.0, 0.0))
-        n1s = jnp.maximum((1.0 - x_prev), 1e-12) * nh_i
+        n1s = jnp.maximum(1.0 - x, 1e-12) * nh_i
         k_ly = LAM_ALPHA**3 / (8.0 * jnp.pi * h_i)
         c_peeb = (1.0 + k_ly * LAM_2S1S * n1s) / (
             1.0 + k_ly * (LAM_2S1S + beta2) * n1s
         )
-        # backward Euler in ln a: x = x_prev + Δ (C/H)(β₂ b (1-x) - α n_H x²)
-        # → quadratic a₂x² + a₁x + a₀ = 0, positive root
-        g = dlna * c_peeb / h_i
-        a2 = g * alpha * nh_i
-        a1 = 1.0 + g * beta2 * boltz
-        a0 = -(x_prev + g * beta2 * boltz)
-        disc = jnp.sqrt(jnp.maximum(a1**2 - 4.0 * a2 * a0, 0.0))
-        x_peebles = jnp.where(
-            a2 > 1e-30, (-a1 + disc) / (2.0 * a2), -a0 / a1
+        g = c_peeb / h_i
+        return g * (beta2 * boltz * (1.0 - x) - alpha * nh_i * x**2), \
+            (g, alpha, beta2, boltz)
+
+    def t_exp_step(t_prev, xe_mid, tg_m, h_m):
+        """Exact exponential step of T' = -λT + s with frozen coefficients."""
+        gamma_c = (
+            8.0 * SIGMA_T * A_RAD * tg_m**4 * xe_mid
+            / (3.0 * ME * C_SI * (1.0 + f_he + xe_mid))
         )
-        use_saha = x_saha > 0.985
+        lam = 2.0 + gamma_c / h_m
+        t_eq = (gamma_c / h_m) * tg_m / lam
+        return t_eq + (t_prev - t_eq) * jnp.exp(
+            -jnp.clip(lam * dlna, 0.0, 300.0)
+        )
+
+    def step(carry, inp):
+        x_prev, t_prev, xe_prev, was_saha = carry
+        (tg_o, tg_i, nh_o, nh_i, h_o, h_i) = inp
+        tg_m, h_m = 0.5 * (tg_o + tg_i), 0.5 * (h_o + h_i)
+
+        x_saha, x_he2, x_he3 = _saha_xe(tg_i, nh_i, f_he)
+
+        # provisional T at the new point (x_e lagged) so the implicit half's
+        # rate coefficients are evaluated at the NEW temperature — leaving
+        # them at T_prev reintroduces an O(dlna) term
+        t_star = t_exp_step(t_prev, xe_prev, tg_m, h_m)
+
+        # explicit half at the OLD point (coefficients at T_prev); the first
+        # post-Saha step falls back to L-stable backward Euler — CN's
+        # marginal stiff-mode damping would ring the handoff offset down
+        # only slowly, leaving an O(dlna) tail on the drag epoch
+        f_old, _ = peebles_rate(x_prev, t_prev, tg_o, nh_o, h_o)
+        theta = jnp.where(was_saha, 1.0, 0.5)  # implicit weight
+        f_old = (1.0 - theta) / theta * f_old
+
+        def solve_implicit(x_for_c):
+            # implicit part at the NEW point; C factor frozen at x_for_c
+            _, (g, alpha, beta2, boltz) = peebles_rate(
+                x_for_c, t_star, tg_i, nh_i, h_i
+            )
+            hd = theta * dlna
+            a2 = hd * g * alpha * nh_i
+            a1 = 1.0 + hd * g * beta2 * boltz
+            a0 = -(x_prev + hd * f_old + hd * g * beta2 * boltz)
+            disc = jnp.sqrt(jnp.maximum(a1**2 - 4.0 * a2 * a0, 0.0))
+            return jnp.where(a2 > 1e-30, (-a1 + disc) / (2.0 * a2), -a0 / a1)
+
+        x_star = solve_implicit(x_prev)
+        x_peebles = solve_implicit(jnp.clip(x_star, 0.0, 1.0))
+        use_saha = x_saha > 0.999
         x_h = jnp.clip(jnp.where(use_saha, x_saha, x_peebles), 0.0, 1.0)
 
         xe = x_h + f_he * (x_he2 + 2.0 * x_he3)
 
-        # matter temperature: backward Euler (linear)
-        gamma_c = (
-            8.0 * SIGMA_T * A_RAD * tg_i**4 * xe
-            / (3.0 * ME * C_SI * (1.0 + f_he + xe))
-        )
-        t_new = (t_prev + dlna * (gamma_c / h_i) * tg_i) / (
-            1.0 + 2.0 * dlna + dlna * gamma_c / h_i
-        )
-        return (x_h, t_new), (x_h, xe, t_new)
+        t_new = t_exp_step(t_prev, 0.5 * (xe_prev + xe), tg_m, h_m)
+        return (x_h, t_new, xe, use_saha), (x_h, xe, t_new)
 
     x0 = jnp.asarray(1.0)
     t0 = tg[0]
-    (_, _), (xh, xe, tm) = jax.lax.scan(
-        step, (x0, t0), (tg, n_h, h_si, a)
+    xe0 = 1.0 + 2.0 * f_he
+    shift = lambda arr: jnp.concatenate([arr[:1], arr[:-1]])
+
+    (_, _, _, _), (xh, xe, tm) = jax.lax.scan(
+        step, (x0, t0, xe0, jnp.asarray(True)),
+        (shift(tg), tg, shift(n_h), n_h, shift(h_si), h_si),
     )
 
     dkappa = a * xe * n_h * SIGMA_T * MPC_M  # 1/Mpc
@@ -325,24 +385,45 @@ def thermo_tables(par: CosmoParams, bg: Background) -> Thermo:
     # exact RD start: r_s(a0) = τ(a0)/√3 (R → 0)
     rs = rs + bg.tau[0] / jnp.sqrt(3.0)
 
-    # drag depth τ_d(a) = ∫_a^1 (dκ/dτ)/R dτ = ∫ dlna dκ/dτ /(R ℋ)
+    # drag depth τ_d(a) = ∫_a^1 (dκ/dτ)/R dτ = ∫ dlna dκ/dτ /(R ℋ).
+    # Integrate from the LATE end (suffix sum): the integrand grows ~a⁻¹
+    # towards early times, so "total minus prefix" loses ~14 digits to
+    # cancellation near the τ_d = 1 crossing (the depth came out quantized
+    # in steps of 1/32, putting ±0.2 Mpc of jagged noise on r_drag across
+    # cosmologies)
     ointeg = dkappa / (r_bg * bg.conf_h)
-    od = jnp.cumsum(0.5 * (ointeg[1:] + ointeg[:-1]) * dlna)
-    drag = jnp.concatenate([od[-1:] - od, jnp.zeros(1)])  # from a to today
-    # z_drag: where drag depth crosses 1 (log-linear interp)
-    idx = jnp.clip(jnp.searchsorted(-drag, -1.0), 1, lna.size - 1)
-    w = (jnp.log(drag[idx - 1]) - 0.0) / (
-        jnp.log(drag[idx - 1]) - jnp.log(jnp.maximum(drag[idx], 1e-30))
-    )
-    lna_drag = lna[idx - 1] + w * (lna[idx] - lna[idx - 1])
+    mid = 0.5 * (ointeg[1:] + ointeg[:-1]) * dlna
+    drag = jnp.concatenate([
+        jnp.cumsum(mid[::-1])[::-1], jnp.zeros(1),
+    ])  # from a to today
+    # z_drag: where the drag depth crosses 1.  log(drag) is steeply curved
+    # (slope ~ -κ'/R/ℋ), so a two-point linear crossing carries an
+    # O(Δ²·f'') error that OSCILLATES as the root slides through grid
+    # cells — enough to put ~0.1 Mpc of non-smooth jitter on r_drag across
+    # cosmologies (it polluted the emulator's rdrag output).  A three-point
+    # quadratic root keeps the crossing smooth in the parameters.
+    idx = jnp.clip(jnp.searchsorted(-drag, -1.0), 2, lna.size - 1)
+    y0 = jnp.log(jnp.maximum(drag[idx - 2], 1e-300))
+    y1 = jnp.log(jnp.maximum(drag[idx - 1], 1e-300))
+    y2 = jnp.log(jnp.maximum(drag[idx], 1e-300))
+    # parabola centred on idx-1: y(s) = y1 + b s + a s², root s ∈ [0, 1]
+    # (y1 ≥ 0 > y2 so b < 0); citardauq form is stable in the a → 0 limit
+    a_q = 0.5 * (y2 - 2.0 * y1 + y0)
+    b_q = 0.5 * (y2 - y0)
+    disc = jnp.sqrt(jnp.maximum(b_q**2 - 4.0 * a_q * y1, 0.0))
+    s_root = 2.0 * y1 / (-b_q + disc)
+    s_root = jnp.clip(jnp.where(jnp.isfinite(s_root), s_root, -y1 / b_q),
+                      0.0, 1.0)
+    lna_drag = lna[idx - 1] + s_root * (lna[1] - lna[0])
     tau_drag = jnp.interp(lna_drag, lna, bg.tau)
     rs_drag = jnp.interp(lna_drag, lna, rs)
     z_drag = jnp.exp(-lna_drag) - 1.0
 
-    # optical depth to today & visibility peak (approximate recombination τ)
+    # optical depth to today & visibility peak (approximate recombination τ);
+    # suffix sum for the same cancellation reason as the drag depth
     kinteg = dkappa / bg.conf_h
-    kap = jnp.cumsum(0.5 * (kinteg[1:] + kinteg[:-1]) * dlna)
-    kappa = jnp.concatenate([kap[-1:] - kap, jnp.zeros(1)])
+    kmid = 0.5 * (kinteg[1:] + kinteg[:-1]) * dlna
+    kappa = jnp.concatenate([jnp.cumsum(kmid[::-1])[::-1], jnp.zeros(1)])
     vis = dkappa * jnp.exp(-jnp.clip(kappa, 0.0, 200.0))
     tau_rec = bg.tau[jnp.argmax(vis)]
 

@@ -234,6 +234,19 @@ class EFTLikelihood:
             interp_png = spline_matrix(kgrid0, kout)[:, 1:] / kout[:, None]
             interp_pg = spline_matrix(cfg.k, kout) / kout[:, None]
 
+        # the product carries cfg.no multipoles (one fewer when chained):
+        # a data multipole beyond that would otherwise be CLAMPED by the
+        # gather below, silently serving the highest computed multipole in
+        # its place (orchestrate's ls negotiation normally prevents this;
+        # hand-built TracerSpecs must size the pipeline themselves)
+        n_prod_l = cfg.no - (1 if spec.chained else 0)
+        if max(ls) // 2 >= n_prod_l:
+            raise ValueError(
+                f"tracer {name}: data requests multipole l={max(ls)} but the "
+                f"pipeline computes only {n_prod_l} output multipoles "
+                f"(nl={cfg.nl}, chained={spec.chained}) — raise the tracer's "
+                "'ls' (or let Analysis.from_config negotiate it)"
+            )
         # flatten gather indices into the product plk (likelihood.py:167-195)
         rows, cols = [], []
         use_mask = spec.with_binning or spec.with_interp

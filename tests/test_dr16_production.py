@@ -122,8 +122,10 @@ def test_production_both_blocks_on_boltzmann_emulator(tmp_path):
     assert np.isfinite(logp_emu) and np.isfinite(chi2)
     # at the production reference point (not the bestfit) with the
     # analytically-marginalized nuisances at their conditional optimum, the
-    # full chi2/dof on the real DR16 NGC+SGC data must be production-grade
-    assert chi2 / ndata < 2.0, f"chi2/dof = {chi2 / ndata:.3f}"
+    # full chi2/dof on the real DR16 NGC+SGC data must be production-grade.
+    # Measured: 1.076 (this gate at 2.0 once caught a silently-clamped P4
+    # multipole index that round-1's chi2/dof<10 sanity bound let through)
+    assert chi2 / ndata < 1.3, f"chi2/dof = {chi2 / ndata:.3f}"
 
     # ---- anchor to the Boltzmann oracle ---------------------------------
     # one full Einstein-Boltzmann solve per tracer at theta0 (a shared

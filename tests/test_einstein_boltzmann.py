@@ -136,10 +136,11 @@ def test_step_convergence():
     tab = eb.make_tables(PLANCK, bg, th)
 
     def solve(**opts):
-        grids = eb.build_schedule(ks, bg, th, lna_out, **opts)
+        grids, masks = eb.build_schedule(ks, bg, th, lna_out, **opts)
         oi = eb.out_indices(grids, lna_out)
         out = eb.solve_perturbations(
-            PLANCK, tab, jnp.asarray(ks), jnp.asarray(grids), jnp.asarray(oi)
+            PLANCK, tab, jnp.asarray(ks), jnp.asarray(grids),
+            jnp.asarray(masks), jnp.asarray(oi)
         )
         return np.asarray(out.delta_m[0] / out.zeta_ini)
 

@@ -12,7 +12,7 @@ from eftpipe_tpu.models.pipeline import TracerPipeline, CosmoInputs
 from eftpipe_tpu.likelihood.likelihood import EFTLikelihood, TracerSpec
 from eftpipe_tpu.likelihood.parambasis import WestCoastBasis
 
-from refbridge import load_reference
+from refbridge import load_reference, golden_oracle
 from test_fftlog import smooth_positive
 
 KIN = np.logspace(-5, 0, 200)
@@ -77,8 +77,6 @@ def ref_flatten(ls, plk, kout_mask=None):
 
 
 def test_single_tracer_binned_marginalized(tmp_path):
-    ref_parambasis = load_reference("parambasis")
-    ref_binning = load_reference("binning")
     from eftpipe_tpu.likelihood.likelihood import parse_kmask
 
     ls = [0, 2]
@@ -106,24 +104,34 @@ def test_single_tracer_binned_marginalized(tmp_path):
                                  qperp=jnp.asarray(Q[0]), qpar=jnp.asarray(Q[1]))}
     result = like.logp(inputs, PARAMS)
 
-    # ---- reference ----
-    co, bird = reference_bird(2)
-    kmask = parse_kmask(KOUT, ls, kmin, kmax)
-    lo = min(s.start for s in kmask.values())
-    hi = max(s.stop for s in kmask.values())
-    kout_used = KOUT[lo:hi]
-    kout_mask = parse_kmask(kout_used, ls, kmin, kmax)
-    binning = ref_binning.Binning(kout_used, co=co)
-    birdlike = binning.transform(bird)
-    basis = ref_parambasis.WestCoastBasis(prefix="LRG_")
-    png_plk = basis.reduce_Plk(birdlike, PARAMS).sum()
-    png = ref_flatten(ls, png_plk, kout_mask)
-    table = basis.reduce_Plk_gaussian_table(birdlike, PARAMS)
+    # ---- reference (golden-backed: live when mounted, replayed otherwise) --
     marg_names = ["LRG_b3", "LRG_cct", "LRG_cr1", "LRG_ce0", "LRG_cequad"]
-    pg = np.stack([ref_flatten(ls, table[p], kout_mask) for p in marg_names])
+
+    def compute():
+        ref_parambasis = load_reference("parambasis")
+        ref_binning = load_reference("binning")
+        co, bird = reference_bird(2)
+        kmask_ = parse_kmask(KOUT, ls, kmin, kmax)
+        lo = min(s.start for s in kmask_.values())
+        hi = max(s.stop for s in kmask_.values())
+        kout_used = KOUT[lo:hi]
+        kout_mask = parse_kmask(kout_used, ls, kmin, kmax)
+        birdlike = ref_binning.Binning(kout_used, co=co).transform(bird)
+        basis = ref_parambasis.WestCoastBasis(prefix="LRG_")
+        png_plk = basis.reduce_Plk(birdlike, PARAMS).sum()
+        table = basis.reduce_Plk_gaussian_table(birdlike, PARAMS)
+        return dict(
+            png=ref_flatten(ls, png_plk, kout_mask),
+            pg=np.stack([ref_flatten(ls, table[p], kout_mask)
+                         for p in marg_names]),
+        )
+
+    gold = golden_oracle("likelihood_single_tracer_marg", compute)
+    png, pg = gold["png"], gold["pg"]
     mu = np.zeros(len(marg_names))
     scales = np.array([2.0, 4.0, 8.0, 4.0, 2.0])
     sigma_inv = np.diag(1.0 / scales**2)
+    kmask = parse_kmask(KOUT, ls, kmin, kmax)
 
     data_vec = np.asarray(like.data_vector)
     invcov = np.asarray(like.invcov)
@@ -148,9 +156,6 @@ def test_single_tracer_binned_marginalized(tmp_path):
 
 def test_two_tracer_chained_interp_chi2(tmp_path):
     """Two tracers, no marginalization: one chained+binned, one interp."""
-    ref_parambasis = load_reference("parambasis")
-    ref_binning = load_reference("binning")
-    ref_chained = load_reference("chained")
     from eftpipe_tpu.likelihood.likelihood import parse_kmask
 
     params = dict(PARAMS)
@@ -198,41 +203,47 @@ def test_two_tracer_chained_interp_chi2(tmp_path):
     }
     result = like.logp(inputs, params)
 
-    # reference: LRG chained+binned
-    co3, bird3 = reference_bird(3)
-    kmask = parse_kmask(KOUT, ls_lrg, 0.02, 0.18)
-    lo, hi = min(s.start for s in kmask.values()), max(s.stop for s in kmask.values())
-    kout_lrg = KOUT[lo:hi]
-    kout_mask_lrg = parse_kmask(kout_lrg, ls_lrg, 0.02, 0.18)
-    birdlike = ref_binning.Binning(kout_lrg, co=co3).transform(bird3)
-    birdlike = ref_chained.Chained().transform(birdlike)
-    basis = load_reference("parambasis").WestCoastBasis(prefix="LRG_")
-    plk_lrg = basis.reduce_Plk(birdlike, params).sum()
-    png_lrg = ref_flatten(ls_lrg, plk_lrg, kout_mask_lrg)
+    def compute():
+        ref_binning = load_reference("binning")
+        ref_chained = load_reference("chained")
+        # reference: LRG chained+binned
+        co3, bird3 = reference_bird(3)
+        kmask = parse_kmask(KOUT, ls_lrg, 0.02, 0.18)
+        lo, hi = (min(s.start for s in kmask.values()),
+                  max(s.stop for s in kmask.values()))
+        kout_lrg = KOUT[lo:hi]
+        kout_mask_lrg = parse_kmask(kout_lrg, ls_lrg, 0.02, 0.18)
+        birdlike = ref_binning.Binning(kout_lrg, co=co3).transform(bird3)
+        birdlike = ref_chained.Chained().transform(birdlike)
+        basis = load_reference("parambasis").WestCoastBasis(prefix="LRG_")
+        plk_lrg = basis.reduce_Plk(birdlike, params).sum()
+        png_lrg = ref_flatten(ls_lrg, plk_lrg, kout_mask_lrg)
 
-    # reference: ELG interp
-    co2, bird2 = reference_bird(2)
-    kmask_e = parse_kmask(KOUT, ls_elg, 0.03, 0.15)
-    lo, hi = min(s.start for s in kmask_e.values()), max(s.stop for s in kmask_e.values())
-    kout_elg = KOUT[lo:hi]
-    kout_mask_elg = parse_kmask(kout_elg, ls_elg, 0.03, 0.15)
-    basis_e = load_reference("parambasis").WestCoastBasis(prefix="ELG_")
+        # reference: ELG interp
+        co2, bird2 = reference_bird(2)
+        kmask_e = parse_kmask(KOUT, ls_elg, 0.03, 0.15)
+        lo, hi = (min(s.start for s in kmask_e.values()),
+                  max(s.stop for s in kmask_e.values()))
+        kout_elg = KOUT[lo:hi]
+        kout_mask_elg = parse_kmask(kout_elg, ls_elg, 0.03, 0.15)
+        basis_e = load_reference("parambasis").WestCoastBasis(prefix="ELG_")
 
-    class Plain:
-        f = bird2.f
-        co = co2
-        P11l, Ploopl, Pctl = bird2.P11l, bird2.Ploopl, bird2.Pctl
-        Pstl, Picc, PctNNLOl = bird2.Pstl, bird2.Picc, bird2.PctNNLOl
+        class Plain:
+            f = bird2.f
+            co = co2
+            P11l, Ploopl, Pctl = bird2.P11l, bird2.Ploopl, bird2.Pctl
+            Pstl, Picc, PctNNLOl = bird2.Pstl, bird2.Picc, bird2.PctNNLOl
 
-    plk_elg = basis_e.reduce_Plk(Plain(), params).sum()
-    kgrid0 = np.hstack([[0.0], co2.k])
-    plk0 = np.insert(plk_elg, 0, 0, axis=-1)
-    interp = interp1d(kgrid0, kgrid0 * plk0, kind="cubic", axis=-1,
-                      bounds_error=False, fill_value="extrapolate")
-    plk_kout = interp(kout_elg) / kout_elg
-    png_elg = ref_flatten(ls_elg, plk_kout, kout_mask_elg)
+        plk_elg = basis_e.reduce_Plk(Plain(), params).sum()
+        kgrid0 = np.hstack([[0.0], co2.k])
+        plk0 = np.insert(plk_elg, 0, 0, axis=-1)
+        interp = interp1d(kgrid0, kgrid0 * plk0, kind="cubic", axis=-1,
+                          bounds_error=False, fill_value="extrapolate")
+        plk_kout = interp(kout_elg) / kout_elg
+        png_elg = ref_flatten(ls_elg, plk_kout, kout_mask_elg)
+        return dict(png=np.hstack([png_lrg, png_elg]))
 
-    png = np.hstack([png_lrg, png_elg])
+    png = golden_oracle("likelihood_two_tracer_chained_interp", compute)["png"]
     res = png - np.asarray(like.data_vector)
     expected_chi2 = res @ np.asarray(like.invcov) @ res
     np.testing.assert_allclose(float(result["chi2"]), expected_chi2, rtol=2e-6)

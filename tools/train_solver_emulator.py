@@ -52,8 +52,8 @@ def main():
     ap.add_argument("--n", type=int, default=320)
     ap.add_argument("--workdir", default="/tmp/ebtrain")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--ncomp", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--ncomp", type=int, default=96)
+    ap.add_argument("--degree", type=int, default=5)
     ap.add_argument("--train-only", action="store_true",
                     help="skip generation, fit on existing samples")
     args = ap.parse_args()
@@ -132,7 +132,7 @@ def main():
 
     emu, report = train_pk_emulator(
         np.asarray(xs), np.asarray(ys), kgrid, zgrid,
-        ncomp=args.ncomp, steps=args.steps,
+        ncomp=args.ncomp, degree=args.degree,
     )
     print("validation:", report)
 
