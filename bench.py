@@ -2,8 +2,10 @@
 """Benchmark: full theory+likelihood evaluations/sec/chip (vmapped walkers).
 
 Runs the flagship two-tracer analysis (IR resummation + AP + window + binning
-+ analytic marginalization, on-device EH cosmology) on whatever accelerator
-JAX exposes, vmapped over a walker batch, and prints ONE JSON line.
++ analytic marginalization, solver-emulator Boltzmann-grade cosmology —
+the trained PCA + polynomial-ridge emulator of the on-device Einstein-
+Boltzmann solver) on whatever accelerator JAX exposes, vmapped over a
+walker batch, and prints ONE JSON line.
 
 The reference implementation evaluates O(1) posterior/sec/process (PyBird
 "runs in less than a second" per full P_l evaluation —

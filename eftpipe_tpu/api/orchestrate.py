@@ -276,8 +276,8 @@ def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
             bcfg.setdefault("h_fid", lcdm_hubble(om_fid, zeff))
         return SolverProvider(cfg=cfg, zeff=zeff, **bcfg)
     if name == "solver_emulator":
-        # trained PCA+MLP emulator of the Einstein-Boltzmann solver — the
-        # production Boltzmann-grade provider (microseconds per eval)
+        # trained PCA + polynomial-ridge emulator of the Einstein-Boltzmann
+        # solver — the production Boltzmann-grade provider (µs per eval)
         from ..boltzmann.emulator import SolverEmulatorProvider
 
         om_fid = bcfg.pop("om_fid", 0.31)
@@ -298,6 +298,56 @@ def build_provider(bcfg: Mapping[str, Any], cfg: EFTConfig, zeff: float):
     raise ValueError(f"unknown boltzmann provider {name!r}")
 
 
+def _validate_emulator_boxes(providers, space, log) -> None:
+    """Check sampled/fixed cosmology priors against each emulator provider's
+    training box at build time (VERDICT: out-of-box proposals are rejected
+    with logp = −inf, so the user must learn *now* if a prior reaches past
+    the box — or sits entirely outside it)."""
+    checked = set()
+    for tracer, prov in providers.items():
+        emu = getattr(prov, "emulator", None)
+        if emu is None or not hasattr(emu, "box"):
+            continue
+        lo, hi = emu.box()
+        names = tuple(getattr(emu, "input_names", ()))
+        key = (tuple(np.round(np.asarray(lo), 12)), names)
+        if key in checked:
+            continue
+        checked.add(key)
+        for i, name in enumerate(names):
+            if name in space.fixed:
+                v = space.fixed[name]
+                if not (lo[i] <= v <= hi[i]):
+                    raise ValueError(
+                        f"fixed {name}={v} lies outside the emulator training"
+                        f" box [{lo[i]}, {hi[i]}] (tracer {tracer}): every"
+                        f" evaluation would be rejected — retrain the"
+                        f" artifact or fix the config"
+                    )
+            elif name in space.priors:
+                spec = space.priors[name]
+                if spec.get("dist", "uniform") == "norm":
+                    plo = spec["loc"] - 5.0 * spec["scale"]
+                    phi = spec["loc"] + 5.0 * spec["scale"]
+                else:
+                    plo, phi = spec["min"], spec["max"]
+                if phi < lo[i] or plo > hi[i]:
+                    raise ValueError(
+                        f"prior of {name} ([{plo}, {phi}]) lies entirely"
+                        f" outside the emulator training box"
+                        f" [{lo[i]}, {hi[i]}] (tracer {tracer})"
+                    )
+                if plo < lo[i] or phi > hi[i]:
+                    log.warning(
+                        "prior of %s ([%g, %g]) extends beyond the emulator "
+                        "training box [%g, %g] (tracer %s): proposals outside "
+                        "the box get logp = -inf (explicit rejection; the "
+                        "posterior is effectively truncated there). Retrain "
+                        "with a wider box if posterior mass lives near the "
+                        "edge.", name, plo, phi, lo[i], hi[i], tracer,
+                    )
+
+
 # ----------------------------------------------------------------------
 # sampled-parameter handling
 # ----------------------------------------------------------------------
@@ -305,12 +355,16 @@ def _compile_lambda(expr: str):
     """Compile a Cobaya-style ``"lambda a, b: ..."`` value string into a
     function of the parameter dict (np maps to jnp so it traces under jit).
 
-    Params lambdas are code: they are evaluated with builtins stripped so a
-    loaded third-party config can reference only np/jnp, not the interpreter.
+    Params lambdas are code: the string is parsed against an AST whitelist
+    (arithmetic, comparisons, np/jnp attribute calls — no imports, dunders
+    or subscript tricks; utils/safe_expr.py), so a loaded third-party
+    config cannot reach the interpreter.
     """
     import inspect
 
-    fn = eval(expr, {"__builtins__": {}, "np": jnp, "jnp": jnp})  # noqa: S307
+    from ..utils.safe_expr import safe_eval_expr
+
+    fn = safe_eval_expr(expr)
     argnames = inspect.getfullargspec(fn).args
     return argnames, (lambda params: fn(*(params[a] for a in argnames)))
 
@@ -549,6 +603,7 @@ class Analysis:
             "params: %d sampled %s, %d fixed, %d computed",
             space.ndim, space.sampled, len(space.fixed), len(space.computed),
         )
+        _validate_emulator_boxes(providers, space, log)
         # template-fit fast path: with a fixed P_lin and no sampled amplitude
         # the loop products are Phase-A constants (pipeline.freeze_template)
         amp_free = "A" not in space.sampled and space.fixed.get("A", 1.0) == 1.0
@@ -604,10 +659,22 @@ class Analysis:
         out["blocks"] = blocks
         return out
 
+    def validity_logp(self, params):
+        """Provider validity terms: −inf where a proposal leaves an
+        emulator's training box (SolverEmulatorProvider.validity_logp) so
+        out-of-box regions are explicitly rejected instead of plateauing."""
+        total = jnp.asarray(0.0, self.dtype)
+        for prov in self.providers.values():
+            if hasattr(prov, "validity_logp"):
+                total = total + prov.validity_logp(params).astype(self.dtype)
+        return total
+
     def logp(self, theta):
-        """log prior + log likelihood, one jit/vmap-able scalar."""
+        """log prior + provider validity + log likelihood, one jit/vmap-able
+        scalar."""
         theta = jnp.asarray(theta, self.dtype)
         lp = self.space.log_prior(theta).astype(self.dtype)
+        lp = lp + self.validity_logp(self.params_dict(theta))
         res = self.loglike(theta)
         return jnp.where(jnp.isfinite(lp), lp + res["logp"], -jnp.inf)
 
@@ -675,6 +742,8 @@ class Analysis:
                 names += [f"{t}_fz", f"{t}_fsigma8_z", f"{t}_alperp", f"{t}_alpara"]
             else:
                 names += [f"{t}_fz", f"{t}_alperp", f"{t}_alpara"]
+            if hasattr(prov, "in_box"):
+                names.append(f"{t}_emu_in_box")
         if self.likes:
             names += ["chi2", "fullchi2"]
         return names
@@ -696,6 +765,8 @@ class Analysis:
                 vals += [jnp.asarray(ci.f, self.dtype),
                          jnp.asarray(ci.qperp, self.dtype),
                          jnp.asarray(ci.qpar, self.dtype)]
+            if hasattr(prov, "in_box"):
+                vals.append(prov.in_box(params).astype(self.dtype))
         if self.likes:
             res = self.loglike(theta)
             vals += [res["chi2"], res["fullchi2"]]

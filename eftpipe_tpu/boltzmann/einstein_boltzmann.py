@@ -98,33 +98,56 @@ def build_schedule(k_mpc: np.ndarray, bg, th, lna_out: np.ndarray,
     sampled cosmology box); the traced solve interpolates the actual
     cosmology's tables onto it.  Output times ``lna_out`` are inserted
     exactly; their indices are returned by :func:`out_indices`.
+
+    ``bg``/``th`` may also be equal-length *lists* of background/thermo
+    tables (e.g. the corners of a training box).  The schedule is then built
+    against the conservative envelope: smallest conformal ℋ (phase
+    resolution), smallest post-TCA stiffness bound, earliest TCA exit and
+    earliest start time over the corners — so one static schedule is
+    stable/accurate for every cosmology inside the hull (a fiducial-only
+    schedule understeps high-k modes at low ω_m, where τ grows and ℋ
+    shrinks relative to the fiducial).
     """
-    lna = np.asarray(bg.lna)
-    tau = np.asarray(bg.tau)
-    conf_h = np.asarray(bg.conf_h)
-    tau_c = 1.0 / np.maximum(np.asarray(th.dkappa), 1e-30)
-    tau_rec = float(th.tau_rec)
+    bgs = bg if isinstance(bg, (list, tuple)) else [bg]
+    ths = th if isinstance(th, (list, tuple)) else [th]
     lna_out = np.sort(np.asarray(lna_out))
 
     # dense evaluation grid for the step-density functional
-    dense = np.linspace(lna[0], 0.0, 16384)
-    hh = np.interp(dense, lna, conf_h)
-    tt = np.interp(dense, lna, tau)
-    tc = np.interp(dense, lna, tau_c)
-    # photon-baryon loading R = 4ρ_γ/3ρ_b: the slip mode relaxes at rate
-    # (1+R)/τ_c, so the explicit-stability bound after TCA switch-off must
-    # carry the (1+R) factor (RK4 real-axis limit |z| < 2.78; 0.8 safety)
-    r_gb = (4.0 / 3.0) * np.interp(dense, lna, np.asarray(bg.rho_g)) \
-        / np.interp(dense, lna, np.asarray(bg.rho_b))
+    lna0 = min(float(np.asarray(b.lna)[0]) for b in bgs)
+    dense = np.linspace(lna0, 0.0, 16384)
+    hh_c, tt_c, stiff_c, tca_c, taug_c = [], [], [], [], []
+    tau_rec = max(float(t.tau_rec) for t in ths)
+    for b, t in zip(bgs, ths):
+        lna = np.asarray(b.lna)
+        tau_c = 1.0 / np.maximum(np.asarray(t.dkappa), 1e-30)
+        hh_i = np.interp(dense, lna, np.asarray(b.conf_h))
+        tc_i = np.interp(dense, lna, tau_c)
+        # photon-baryon loading R = 4ρ_γ/3ρ_b: the slip mode relaxes at rate
+        # (1+R)/τ_c, so the explicit-stability bound after TCA switch-off must
+        # carry the (1+R) factor (RK4 real-axis limit |z| < 2.78; 0.8 safety)
+        r_gb = (4.0 / 3.0) * np.interp(dense, lna, np.asarray(b.rho_g)) \
+            / np.interp(dense, lna, np.asarray(b.rho_b))
+        hh_c.append(hh_i)
+        tt_c.append(np.interp(dense, lna, np.asarray(b.tau)))
+        stiff_c.append(0.8 * tc_i * hh_i / (1.0 + r_gb))
+        tca_c.append(tc_i)
+        taug_c.append((np.asarray(b.tau), lna))
+    hh = np.min(hh_c, axis=0)          # smallest ℋ → finest phase steps
+    tt = np.max(tt_c, axis=0)          # largest τ → earliest starts
+    stiff_env = np.min(stiff_c, axis=0)
+    # TCA valid only where EVERY corner says so (exit as early as any corner)
+    tc_max = np.max(tca_c, axis=0)
+    hh_max = np.max(hh_c, axis=0)
 
     grids, masks = [], []
     for k in np.asarray(k_mpc):
-        lna_ini = min(np.log(a_ini_max), float(np.interp(x_ini / k, tau, lna)))
-        in_tca = (tc * k < tca_k) & (tc * hh < tca_h)
+        lna_ini = min(np.log(a_ini_max),
+                      min(float(np.interp(x_ini / k, tau_i, lna_i))
+                          for tau_i, lna_i in taug_c))
+        in_tca = (tc_max * k < tca_k) & (tc_max * hh_max < tca_h)
         phase = np.where(tt < 3.0 * tau_rec, phase_acc, phase_post)
         d = np.minimum(dlna_max, phase * hh / k)
-        stiff = 0.8 * tc * hh / (1.0 + r_gb)
-        d = np.where(in_tca, d, np.minimum(d, np.maximum(stiff, 1e-6)))
+        d = np.where(in_tca, d, np.minimum(d, np.maximum(stiff_env, 1e-6)))
         # "step-count coordinate" s(lna) = ∫ dx / d(x): the grid is s⁻¹ at
         # integer values — vectorized equivalent of walking the step rule
         mask = dense >= lna_ini
@@ -498,44 +521,49 @@ def _nc_rho(eps):
     return jnp.sum(W_NC * eps)
 
 
-@partial(jax.jit, static_argnames=())
-def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, tca_mask, out_idx):
-    """Integrate one k-mode over its schedule; snapshot δ_m at out_idx."""
-    lna0 = lna_grid[0]
+def _ic_and_zeta(tab: EBTables, k, lna0):
+    """Initial state + its super-horizon curvature at a schedule start."""
     y_nc0 = _row_at(tab, 7, lna0)
     rv_num = _row_at(tab, 5, lna0) + _row_at(tab, 6, lna0) * _nc_rho(
         jnp.sqrt(Q_NC**2 + y_nc0**2)
     )
     rv = rv_num / (rv_num + _row_at(tab, 2, lna0))
+    y0 = _ic_state(k, lna0, tab, rv)
+    return y0, _zeta(y0, k, _bgv_at(tab, lna0))
 
-    y0 = _ic_state(k, lna_grid[0], tab, rv)
-    bgv0 = _bgv_at(tab, lna_grid[0])
-    zeta0 = _zeta(y0, k, bgv0)
+
+def _rk4_advance(y, k, tab: EBTables, lna_a, lna_b, tca, tca_b):
+    """One RK4 step in ln a (dy/dlna = dy/dτ / ℋ) + TCA projection."""
+    bgv_a = _bgv_at(tab, lna_a)
+    bgv_m = _bgv_at(tab, 0.5 * (lna_a + lna_b))
+    bgv_b = _bgv_at(tab, lna_b)
+    tau_a = _tau_at(tab, lna_a)
+    tau_m = _tau_at(tab, 0.5 * (lna_a + lna_b))
+    tau_b = _tau_at(tab, lna_b)
+
+    d1 = lna_b - lna_a
+    f1 = _rhs(y, k, tau_a, bgv_a, tca) / bgv_a[0]
+    y2 = y + 0.5 * d1 * f1
+    f2 = _rhs(y2, k, tau_m, bgv_m, tca) / bgv_m[0]
+    y3 = y + 0.5 * d1 * f2
+    f3 = _rhs(y3, k, tau_m, bgv_m, tca) / bgv_m[0]
+    y4 = y + d1 * f3
+    f4 = _rhs(y4, k, tau_b, bgv_b, tca) / bgv_b[0]
+    y_new = y + (d1 / 6.0) * (f1 + 2.0 * f2 + 2.0 * f3 + f4)
+    return jnp.where(tca_b, _tca_project(y_new, k, bgv_b), y_new), bgv_b
+
+
+@partial(jax.jit, static_argnames=())
+def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, tca_mask, out_idx):
+    """Integrate one k-mode over its schedule; snapshot δ_m at out_idx."""
+    y0, zeta0 = _ic_and_zeta(tab, k, lna_grid[0])
 
     nz = out_idx.shape[0]
 
     def step(carry, inp):
         y, outs = carry
         lna_a, lna_b, tca, tca_b, i = inp
-        bgv_a = _bgv_at(tab, lna_a)
-        bgv_m = _bgv_at(tab, 0.5 * (lna_a + lna_b))
-        bgv_b = _bgv_at(tab, lna_b)
-        tau_a = _tau_at(tab, lna_a)
-        tau_m = _tau_at(tab, 0.5 * (lna_a + lna_b))
-        tau_b = _tau_at(tab, lna_b)
-
-        # RK4 in ln a: dy/dlna = dy/dτ / ℋ
-        d1 = lna_b - lna_a
-        f1 = _rhs(y, k, tau_a, bgv_a, tca) / bgv_a[0]
-        y2 = y + 0.5 * d1 * f1
-        f2 = _rhs(y2, k, tau_m, bgv_m, tca) / bgv_m[0]
-        y3 = y + 0.5 * d1 * f2
-        f3 = _rhs(y3, k, tau_m, bgv_m, tca) / bgv_m[0]
-        y4 = y + d1 * f3
-        f4 = _rhs(y4, k, tau_b, bgv_b, tca) / bgv_b[0]
-        y_new = y + (d1 / 6.0) * (f1 + 2.0 * f2 + 2.0 * f3 + f4)
-
-        y_new = jnp.where(tca_b, _tca_project(y_new, k, bgv_b), y_new)
+        y_new, bgv_b = _rk4_advance(y, k, tab, lna_a, lna_b, tca, tca_b)
 
         # snapshots
         dm, dcb = _delta_m(y_new, k, bgv_b)
@@ -555,6 +583,27 @@ def solve_k(par: CosmoParams, tab: EBTables, k, lna_grid, tca_mask, out_idx):
          jnp.arange(n - 1)),
     )
     return outs[0], outs[1], zeta0
+
+
+@partial(jax.jit, static_argnames=())
+def zeta_track(tab: EBTables, k, lna_grid, tca_mask):
+    """ζ(lna) along one k-mode's schedule — the super-horizon conservation
+    diagnostic (ζ̇ = O((kτ)²) on adiabatic modes outside the horizon; a
+    drifting ζ flags IC truncation or integrator error).  Returns the
+    (nsteps+1,) curvature history; used by the ζ-conservation gate in
+    tests/test_einstein_boltzmann.py."""
+    y0, zeta0 = _ic_and_zeta(tab, k, lna_grid[0])
+
+    def step(y, inp):
+        lna_a, lna_b, tca, tca_b = inp
+        y_new, bgv_b = _rk4_advance(y, k, tab, lna_a, lna_b, tca, tca_b)
+        return y_new, _zeta(y_new, k, bgv_b)
+
+    _, zs = jax.lax.scan(
+        step, y0,
+        (lna_grid[:-1], lna_grid[1:], tca_mask[:-1], tca_mask[1:]),
+    )
+    return jnp.concatenate([zeta0[None], zs])
 
 
 def _delta_m(y, k, bgv):
@@ -625,7 +674,11 @@ class EBSolver:
 
     def __init__(self, z_out, kmax: float = 1.6, fiducial: CosmoParams | None = None,
                  dlna_f: float = 0.02, growth_stencil: bool = True,
+                 envelope: "list[CosmoParams] | None" = None,
                  **sched_opts):
+        """``envelope``: optional list of CosmoParams (e.g. training-box
+        corners); the schedule is then built conservatively for the whole
+        hull — see :func:`build_schedule`."""
         import jax.numpy as jnp  # noqa: F811
 
         fid = fiducial or CosmoParams(
@@ -647,8 +700,9 @@ class EBSolver:
             else:
                 lna_list.append(lna)
         self.lna_out = np.unique(np.asarray(lna_list))
-        bg_f = background_tables(fid)
-        th_f = thermo_tables(fid, bg_f)
+        corners = list(envelope) if envelope else [fid]
+        bg_f = [background_tables(c) for c in corners]
+        th_f = [thermo_tables(c, b) for c, b in zip(corners, bg_f)]
         raw, raw_masks = build_schedule(self.k_mpc, bg_f, th_f, self.lna_out,
                                         pad=False, **sched_opts)
         # bucket the modes by schedule length: lockstep padding to the global

@@ -260,11 +260,17 @@ class PkEmulator:
     """Polynomial-ridge emulator of the EB solver's log-transfer outputs.
 
     The targets log T(k, z) (total matter + cb) and log r_drag are smooth
-    low-order functions of (ω_b, ω_cdm, h) — a degree-5 polynomial ridge on
-    a PCA-compressed basis generalizes to <5e-4 max |Δlog T| from ~300
-    training solves, an order of magnitude better than an MLP at this
-    sample density (measured; the MLP memorizes the Sobol points).  The
-    whole evaluation is one small matmul: y = pca_mean + design(x) @ B.
+    low-order functions of (ω_b, ω_cdm, h) — a low-degree polynomial ridge
+    on a PCA-compressed basis generalizes to <1e-3 max |Δlog T| from a few
+    hundred training solves, an order of magnitude better than an MLP at
+    this sample density (measured; the MLP memorizes the Sobol points).
+    The whole evaluation is one small matmul: y = pca_mean + design(x) @ B.
+
+    The artifact carries its own provenance: the training box
+    (``bounds_lo``/``bounds_hi``) and the fixed physics it was trained at
+    (per-species ν mass, degeneracy, N_ur, Y_He, solver kmax).  Providers
+    validate a config's requested physics against this metadata at load
+    time and reject out-of-box inputs instead of extrapolating.
     """
 
     coeffs: jnp.ndarray         # (nterms, d) — design → raw outputs
@@ -275,6 +281,13 @@ class PkEmulator:
     kgrid: np.ndarray           # solver k grid, 1/Mpc
     z_grid: np.ndarray          # output redshifts (uniform in ln a)
     input_names: tuple = ("omega_b", "omega_cdm", "h")
+    bounds_lo: np.ndarray | None = None   # training box (input_names order)
+    bounds_hi: np.ndarray | None = None
+    m_ncdm: float | None = None           # eV per massive species
+    deg_ncdm: float | None = None         # massive species count
+    n_ur: float | None = None             # massless families
+    yhe: float | None = None
+    meta: dict | None = None               # kmax, n_train, ...
 
     def raw(self, x):
         xn = (jnp.asarray(x) - self.x_mean) / self.x_std
@@ -287,30 +300,66 @@ class PkEmulator:
         log_tcb = y[nz * nk: 2 * nz * nk].reshape(nz, nk)
         return log_tm, log_tcb, y[-1]
 
+    def box(self) -> tuple[np.ndarray, np.ndarray]:
+        """Validity box (lo, hi).  Artifacts predating the metadata format
+        fall back to the Sobol inference x_mean ± √3·x_std."""
+        if self.bounds_lo is not None and self.bounds_hi is not None:
+            return np.asarray(self.bounds_lo), np.asarray(self.bounds_hi)
+        lo = np.asarray(self.x_mean) - np.sqrt(3.0) * np.asarray(self.x_std)
+        hi = np.asarray(self.x_mean) + np.sqrt(3.0) * np.asarray(self.x_std)
+        return lo, hi
+
+    def mnu_total(self) -> float | None:
+        """Σm_ν [eV] the artifact was trained at (None if unrecorded)."""
+        if self.m_ncdm is None:
+            return None
+        return float(self.m_ncdm) * float(self.deg_ncdm or 1.0)
+
     def save(self, path):
+        extra = {}
+        if self.bounds_lo is not None:
+            extra["bounds_lo"] = np.asarray(self.bounds_lo)
+            extra["bounds_hi"] = np.asarray(self.bounds_hi)
+        for name in ("m_ncdm", "deg_ncdm", "n_ur", "yhe"):
+            v = getattr(self, name)
+            if v is not None:
+                extra[name] = float(v)
+        for k, v in (self.meta or {}).items():
+            if k not in extra and np.isscalar(v):
+                extra[f"meta_{k}"] = v
         np.savez_compressed(
             path, kgrid=self.kgrid, z_grid=self.z_grid,
             coeffs=np.asarray(self.coeffs), y_mean=np.asarray(self.y_mean),
             x_mean=np.asarray(self.x_mean), x_std=np.asarray(self.x_std),
-            degree=self.degree,
+            degree=self.degree, **extra,
         )
 
     @classmethod
     def load(cls, path) -> "PkEmulator":
         with np.load(path) as z:
+            def opt(name):
+                return float(z[name]) if name in z.files else None
+
+            meta = {k[5:]: z[k].item() for k in z.files if k.startswith("meta_")}
             return cls(
                 coeffs=jnp.asarray(z["coeffs"]), y_mean=jnp.asarray(z["y_mean"]),
                 x_mean=jnp.asarray(z["x_mean"]), x_std=jnp.asarray(z["x_std"]),
                 degree=int(z["degree"]), kgrid=z["kgrid"], z_grid=z["z_grid"],
+                bounds_lo=z["bounds_lo"] if "bounds_lo" in z.files else None,
+                bounds_hi=z["bounds_hi"] if "bounds_hi" in z.files else None,
+                m_ncdm=opt("m_ncdm"), deg_ncdm=opt("deg_ncdm"),
+                n_ur=opt("n_ur"), yhe=opt("yhe"), meta=meta or None,
             )
 
 
 def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 96,
                       degree: int = 5, ridge: float = 1e-8, seed: int = 0,
-                      val_frac: float = 0.1) -> tuple:
+                      val_frac: float = 0.1, meta: dict | None = None) -> tuple:
     """Fit the PCA + polynomial-ridge emulator on solver outputs.
 
     x: (n, 3) raw inputs; y: (n, d) raw targets (log transfers + log rdrag).
+    ``meta`` carries artifact provenance (bounds_lo/hi, m_ncdm, deg_ncdm,
+    n_ur, yhe, solver settings) — stored in the npz and validated at load.
     Returns (PkEmulator, dict of validation errors).
     """
     import numpy.linalg as la
@@ -351,10 +400,16 @@ def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 96,
         a.T @ a + ridge * np.eye(a.shape[1]), a.T @ yc[:, -1]
     )
 
+    meta = dict(meta or {})
     emu = PkEmulator(
         coeffs=jnp.asarray(coeffs), y_mean=jnp.asarray(y_mean),
         x_mean=jnp.asarray(x_mean), x_std=jnp.asarray(x_std),
         degree=degree, kgrid=np.asarray(kgrid), z_grid=np.asarray(z_grid),
+        bounds_lo=meta.pop("bounds_lo", None),
+        bounds_hi=meta.pop("bounds_hi", None),
+        m_ncdm=meta.pop("m_ncdm", None), deg_ncdm=meta.pop("deg_ncdm", None),
+        n_ur=meta.pop("n_ur", None), yhe=meta.pop("yhe", None),
+        meta={k: v for k, v in meta.items() if k != "input_names"} or None,
     )
     pred = design_np(x[vi]) @ coeffs + y_mean
     err = np.abs(pred - y[vi])
@@ -381,6 +436,14 @@ class SolverEmulatorProvider:
     analytically through the primordial spectrum).  Microseconds per
     evaluation, vmappable — the CLASS-speed bottleneck of the reference
     (classynu.yaml 'speed: 0.2') is gone.
+
+    Validity: the artifact is exact only inside its training box.  Inputs
+    are clamped to the box for numerical evaluation, and
+    :meth:`validity_logp` returns −inf outside it (``out_of_box="reject"``,
+    the default) so out-of-box proposals are explicitly rejected rather
+    than silently served the box-edge spectrum — the likelihood graph adds
+    this term (Analysis.logp).  ``out_of_box="clamp"`` restores the legacy
+    plateau semantics for debugging only.
     """
 
     cfg: EFTConfig
@@ -392,26 +455,68 @@ class SolverEmulatorProvider:
     use_ap: bool = True
     rdrag_fid: float | None = None
     h0_fid: float | None = None
-    clamp: bool = True             # clamp inputs to the training box
+    out_of_box: str = "reject"     # "reject" (logp=-inf) | "clamp" (legacy)
 
     @classmethod
-    def load(cls, cfg: EFTConfig, zeff: float, path=None, **kwargs):
-        path = path or DEFAULT_PK_ARTIFACT
-        return cls(cfg=cfg, zeff=zeff, emulator=PkEmulator.load(path), **kwargs)
+    def load(cls, cfg: EFTConfig, zeff: float, path=None, mnu=None,
+             n_ur=None, yhe=None, **kwargs):
+        """Load an artifact, validating any requested physics against the
+        artifact's training metadata (reference classynu handles arbitrary
+        Σm_ν at run time, /root/reference/eftpipe/classy.py:12-92; a trained
+        artifact is a fixed-physics object, so a mismatch must fail loudly
+        at build time instead of silently serving wrong spectra)."""
+        from ..models.window import MetaInfoError
 
-    # -- core evaluation ----------------------------------------------------
-    def _eval(self, params):
-        emu = self.emulator
-        x = jnp.stack([
+        path = path or DEFAULT_PK_ARTIFACT
+        emu = PkEmulator.load(path)
+        requested = {"mnu": mnu, "n_ur": n_ur, "yhe": yhe}
+        stored = {"mnu": emu.mnu_total(), "n_ur": emu.n_ur, "yhe": emu.yhe}
+        for name, want in requested.items():
+            if want is None:
+                continue
+            have = stored[name]
+            if have is None:
+                raise MetaInfoError(
+                    f"config requests {name}={want} but artifact {path} "
+                    f"records no {name} metadata — retrain with "
+                    f"tools/train_solver_emulator.py to stamp it"
+                )
+            if abs(float(want) - float(have)) > 1e-8 + 1e-6 * abs(float(have)):
+                raise MetaInfoError(
+                    f"config requests {name}={want} but artifact {path} was "
+                    f"trained at {name}={have}; train a matching artifact "
+                    f"(tools/train_solver_emulator.py) or drop the request"
+                )
+        return cls(cfg=cfg, zeff=zeff, emulator=emu, **kwargs)
+
+    # -- validity ------------------------------------------------------------
+    def _x(self, params):
+        return jnp.stack([
             jnp.asarray(params["omega_b"], jnp.result_type(float)),
             jnp.asarray(params["omega_cdm"], jnp.result_type(float)),
             jnp.asarray(params["h"], jnp.result_type(float)),
         ])
-        if self.clamp:
-            # Sobol box: half-width = √3·std of a uniform sample
-            lo = emu.x_mean - 1.7321 * emu.x_std
-            hi = emu.x_mean + 1.7321 * emu.x_std
-            x = jnp.clip(x, lo, hi)
+
+    def in_box(self, params):
+        """True where (ω_b, ω_cdm, h) lie inside the training box."""
+        lo, hi = self.emulator.box()
+        x = self._x(params)
+        return jnp.all((x >= jnp.asarray(lo)) & (x <= jnp.asarray(hi)))
+
+    def validity_logp(self, params):
+        """0 inside the training box; −inf outside (when rejecting)."""
+        if self.out_of_box != "reject":
+            return jnp.asarray(0.0)
+        return jnp.where(self.in_box(params), 0.0, -jnp.inf)
+
+    # -- core evaluation ----------------------------------------------------
+    def _eval(self, params):
+        emu = self.emulator
+        lo, hi = emu.box()
+        # always clamp for numerical evaluation: out-of-box points are
+        # rejected via validity_logp, clamping just keeps the traced values
+        # finite so the rest of the graph (AP, window, chi2) stays NaN-free
+        x = jnp.clip(self._x(params), jnp.asarray(lo), jnp.asarray(hi))
         log_tm, log_tcb, log_rd = emu.unpack(emu.raw(x))
         rdrag = jnp.exp(log_rd)
         k = jnp.asarray(emu.kgrid)
@@ -441,13 +546,22 @@ class SolverEmulatorProvider:
 
     def _background(self, params):
         """Exact flat-LCDM(+nu as matter) background at zeff: H/H0, H0*DA.
-        Radiation is included; late-time nu treated as matter (exact to
-        <1e-4 at z < 1.1 for mnu = 0.06 eV)."""
+        Radiation (photons + the artifact's massless N_ur) is included;
+        late-time massive nu (the artifact's Σm_ν) treated as matter (exact
+        to <1e-4 at z < 1.1 for mnu = 0.06 eV).  The neutrino setup comes
+        from the artifact metadata, not a hardcoded 0.06 eV, so an artifact
+        trained at a different Σm_ν keeps spectrum and AP background
+        consistent."""
         from .eh98 import _GL_X, _GL_W
 
+        emu = self.emulator
+        # legacy artifacts without metadata: production values (mnu=0.06,
+        # the classynu degenerate convention N_ur=0.00641)
+        mnu = emu.mnu_total() if emu.mnu_total() is not None else 0.06
+        n_ur = emu.n_ur if emu.n_ur is not None else 0.00641
         h2 = params["h"] ** 2
-        om_g = 2.47282e-5 / h2 * (1.0 + 0.2271 * 3.044)
-        om_m = (params["omega_b"] + params["omega_cdm"] + 0.06 / 93.14) / h2
+        om_g = 2.47282e-5 / h2 * (1.0 + 0.2271 * n_ur)
+        om_m = (params["omega_b"] + params["omega_cdm"] + mnu / 93.14) / h2
         om_l = 1.0 - om_m - om_g
 
         def e_of_z(z):

@@ -28,9 +28,11 @@ def _compile_prior_entry(x) -> Callable[[Mapping], Any] | float:
         return 0.0
     if isinstance(x, str):
         # prior loc/scale strings are code (the reference's eval_callable
-        # pattern); evaluated with builtins stripped so a loaded config can
-        # only reference np/jnp
-        fn = eval(x, {"__builtins__": {}, "np": jnp, "jnp": jnp})  # noqa: S307
+        # pattern); parsed against an AST whitelist (arithmetic + np/jnp
+        # calls only) instead of eval'd — see utils/safe_expr.py
+        from ..utils.safe_expr import safe_eval_expr
+
+        fn = safe_eval_expr(x)
         argnames = inspect.getfullargspec(fn).args
         return lambda params: fn(*(params[a] for a in argnames))
     if callable(x):

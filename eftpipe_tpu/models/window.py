@@ -181,8 +181,13 @@ def build_window_tables(
     fourier_path = None
     if window_fourier_file is not None:
         # reference-format precomputed Fourier matrix: a raw .npy of
-        # Wal[a, l, k, p] (window.py:204-260), with the Nl-suffix retry
+        # Wal[a, l, k, p] (window.py:204-260), with the Nl-suffix retry.
+        # Normalize to a '.npy' suffix up front: np.save APPENDS '.npy' to
+        # suffix-less paths, so a configured bare path would save to one
+        # file and load from another, silently recomputing every run.
         fourier_path = Path(window_fourier_file)
+        if fourier_path.suffix != ".npy":
+            fourier_path = fourier_path.with_name(fourier_path.name + ".npy")
         wf = fourier_path
         if wf.exists():
             wal = np.load(wf)
@@ -254,8 +259,12 @@ def build_window_tables(
                 np.save(fourier_path, wal)
                 with fourier_path.with_suffix(".json").open("w") as fjson:
                     json.dump(meta, fjson, indent=2)
+                log.info("window: saved fourier matrix %s", fourier_path)
             except OSError:
-                pass
+                log.warning(
+                    "window: could not write fourier matrix back to %s — "
+                    "the next run will recompute", fourier_path, exc_info=True,
+                )
 
     waldk = mask_and_weight(cfg, wal, p, withmask=withmask, windowk=windowk)
     # fuse the per-eval cubic interpolation co.k -> p into the window tensor

@@ -78,12 +78,34 @@ def solution():
 
 
 @pytest.mark.slow
-def test_zeta_normalisation(solution):
-    _, lp = solution
-    # the IC normalization is divided out; ζ_ini itself must be the
-    # super-horizon constant set by C = 1/2 (|ζ| = 1) to high accuracy
-    # (its variation measures IC truncation error at kτ ≤ 0.03)
-    assert lp.pk.shape[0] == 2
+def test_zeta_normalisation_and_conservation(solution):
+    """Exact internal invariant (validation-strategy item 2): on adiabatic
+    super-horizon modes the curvature ζ is conserved (ζ̇ = O((kτ)²)) and the
+    IC normalization sets |ζ_ini| = 1 (C = 1/2).  Integrates the three
+    lowest k-modes with eb.zeta_track and bounds the drift while kτ ≲ 0.3."""
+    solver, _ = solution
+    bg = background_tables(PLANCK)
+    th = thermo_tables(PLANCK, bg)
+    tab = eb.make_tables(PLANCK, bg, th)
+    for ki in (0, 1, 2):
+        k = float(solver.k_mpc[ki])
+        for idx, grids, masks, _oidx in solver.buckets:
+            pos = np.where(np.asarray(idx) == ki)[0]
+            if pos.size:
+                grid = np.asarray(grids)[pos[0]]
+                mask = np.asarray(masks)[pos[0]]
+                break
+        zs = np.asarray(eb.zeta_track(
+            tab, jnp.asarray(k), jnp.asarray(grid), jnp.asarray(mask)
+        ))
+        # normalization: ζ_ini is the super-horizon constant, |ζ| = 1
+        np.testing.assert_allclose(abs(zs[0]), 1.0, atol=1e-6)
+        tau = np.interp(grid, np.asarray(bg.lna), np.asarray(bg.tau))
+        sel = k * tau <= 0.3
+        drift = np.abs(zs[sel] / zs[0] - 1.0).max()
+        # measured ~2e-4 for the lowest modes (kτ_max ≈ 0.07-0.17);
+        # 3e-3 bounds the O((kτ)²) tail at the kτ = 0.3 cut
+        assert drift < 3e-3, f"k={k:.2e}: zeta drift {drift:.2e}"
 
 
 @pytest.mark.slow

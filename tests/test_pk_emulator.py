@@ -103,11 +103,63 @@ def test_provider_inputs_shape_and_speed(provider):
     assert out.shape == (4, provider.cfg.kin.size)
 
 
-def test_provider_clamps_out_of_box(provider):
+def test_provider_rejects_out_of_box(provider):
     """Wild prior-volume proposals (the production priors span ω_cdm up to
-    0.7) evaluate finitely via input clamping instead of extrapolating the
-    MLP."""
+    0.7) are explicitly REJECTED — validity_logp = −inf, in_box False —
+    while the traced spectrum stays finite (internal clamping keeps the
+    rest of the graph NaN-free).  The emulator never extrapolates."""
     params = dict(omega_b=0.02237, omega_cdm=0.65, h=0.99, ln10As=3.044,
                   ns=0.9649)
+    assert not bool(provider.in_box(params))
+    assert float(provider.validity_logp(params)) == -np.inf
     ci = provider.inputs(params)
     assert bool(jnp.isfinite(ci.plin).all())
+    # inside the box: no penalty
+    good = {**HELD_OUT[0], "ln10As": 3.044, "ns": 0.9649}
+    assert bool(provider.in_box(good))
+    assert float(provider.validity_logp(good)) == 0.0
+    # jit/vmap-able (the term lives inside the logp graph)
+    batch = {k: jnp.asarray([v, v]) for k, v in params.items()}
+    out = jax.jit(jax.vmap(provider.validity_logp))(batch)
+    assert out.shape == (2,) and bool(jnp.all(out == -jnp.inf))
+    # legacy plateau semantics only on explicit opt-in
+    legacy = SolverEmulatorProvider(cfg=provider.cfg, zeff=ZEFF,
+                                    emulator=provider.emulator,
+                                    out_of_box="clamp")
+    assert float(legacy.validity_logp(params)) == 0.0
+
+
+def test_artifact_metadata_and_validation(emulator, provider):
+    """The artifact stamps its training box and neutrino setup; load-time
+    validation rejects a mismatched request (reference classynu handles any
+    Σm_ν at run time, classy.py:12-92 — a fixed-physics artifact must fail
+    loudly instead)."""
+    from eftpipe_tpu.models.window import MetaInfoError
+
+    lo, hi = emulator.box()
+    assert lo.shape == (3,) and np.all(lo < hi)
+    # the DR16 posterior region is interior to the box
+    x0 = np.array([0.02237, 0.12, 0.6777])
+    assert np.all(x0 > lo) and np.all(x0 < hi)
+    cfg = EFTConfig(nl=3, no=3)
+    if emulator.mnu_total() is not None:
+        np.testing.assert_allclose(emulator.mnu_total(), 0.06, rtol=1e-6)
+        # matching request passes ...
+        SolverEmulatorProvider.load(cfg=cfg, zeff=ZEFF, mnu=0.06)
+        # ... mismatched request fails loudly at build time
+        with pytest.raises(MetaInfoError):
+            SolverEmulatorProvider.load(cfg=cfg, zeff=ZEFF, mnu=0.1)
+    else:
+        # legacy artifact without metadata: any explicit request must raise
+        with pytest.raises(MetaInfoError):
+            SolverEmulatorProvider.load(cfg=cfg, zeff=ZEFF, mnu=0.06)
+
+
+def test_background_uses_artifact_neutrinos(provider):
+    """_background derives Σm_ν/N_ur from artifact metadata (not a
+    hardcoded 0.06) and stays consistent with the solver background."""
+    params = {**HELD_OUT[0], "ln10As": 3.044, "ns": 0.9649}
+    e, da = provider._background(params)
+    assert np.isfinite(float(e)) and np.isfinite(float(da))
+    # flat LCDM sanity: E(zeff=0.7) for Planck-ish params ~ 1.4-1.5
+    assert 1.3 < float(e) < 1.6

@@ -3,16 +3,23 @@
 
 Generates solver spectra over a Sobol box in (ω_b, ω_cdm, h) with the
 production neutrino setup (Σm_ν = 0.06 eV, degenerate over 3 species,
-N_ur = 0.00641 — the reference classynu convention), fits the PCA+MLP
-emulator and writes the artifact to
+N_ur = 0.00641 — the reference classynu convention), fits the PCA +
+polynomial-ridge emulator and writes the artifact (with its training box,
+neutrino setup and solver settings as load-time-validated metadata) to
 ``eftpipe_tpu/boltzmann/artifacts/pk_emulator_mnu06.npz``.
 
+The sample set is nested: ~60% of the points cover the full (wide) box,
+the rest a centered inner box around the DR16 posterior, so the ridge fit
+is sharpest where chains actually live while remaining valid over the full
+box (out-of-box proposals are rejected by the provider, not clamped).  The
+solver uses an *envelope* step schedule built from the box corners so every
+cosmology in the box integrates stably (~24 s/solve on one CPU core).
+
 Samples are checkpointed incrementally to ``--workdir`` so the run can be
-interrupted and resumed.  ~12 s/solve on CPU; the default 320 samples take
-about an hour.
+interrupted and resumed.
 
 Usage:
-    python tools/train_solver_emulator.py [--n 320] [--workdir /tmp/ebtrain]
+    python tools/train_solver_emulator.py [--n 512] [--workdir /tmp/ebtrain]
 """
 
 import argparse
@@ -31,11 +38,22 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BOUNDS = {
-    # generous around the DR16 posterior; the provider clamps outside
+    # wide box: many tens of posterior sigmas around DR16 in every direction
+    # (the production priors are wider still — omega_cdm to 0.7, H0 to 100 —
+    # the provider rejects proposals outside this box with logp = -inf and
+    # Analysis.from_config warns when sampled priors exceed it)
+    "omega_b": (0.017, 0.029),
+    "omega_cdm": (0.05, 0.30),
+    "h": (0.50, 0.90),
+}
+INNER_BOUNDS = {
+    # dense region around the DR16 posterior (the round-2 box)
     "omega_b": (0.0195, 0.0255),
     "omega_cdm": (0.075, 0.175),
     "h": (0.55, 0.80),
 }
+NEUTRINO = dict(m_ncdm=0.02, deg_ncdm=3.0, n_ur=0.00641, yhe=0.2454)
+SOLVER_KMAX = 1.6
 # z grid uniform in ln a over the survey range, plus z=0 for sigma8(0)
 Z_GRID = np.exp(-np.linspace(np.log(1.0 / 2.05), 0.0, 13))[::-1] - 1.0
 # -> 13 nodes from z=0 to z=1.05
@@ -49,14 +67,18 @@ def sobol(n, dim, seed=7):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=320)
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--inner-frac", type=float, default=0.4,
+                    help="fraction of samples drawn from INNER_BOUNDS")
     ap.add_argument("--workdir", default="/tmp/ebtrain")
     ap.add_argument("--out", default=None)
     ap.add_argument("--ncomp", type=int, default=96)
-    ap.add_argument("--degree", type=int, default=5)
+    ap.add_argument("--degree", type=int, default=6)
     ap.add_argument("--train-only", action="store_true",
                     help="skip generation, fit on existing samples")
     args = ap.parse_args()
+
+    import itertools
 
     import jax
 
@@ -71,17 +93,37 @@ def main():
     wd.mkdir(parents=True, exist_ok=True)
 
     names = list(BOUNDS)
+    n_in = int(round(args.inner_frac * args.n))
+    n_out = args.n - n_in
     lo = np.array([BOUNDS[n][0] for n in names])
     hi = np.array([BOUNDS[n][1] for n in names])
-    x = lo + (hi - lo) * sobol(args.n, len(names))
+    lo_i = np.array([INNER_BOUNDS[n][0] for n in names])
+    hi_i = np.array([INNER_BOUNDS[n][1] for n in names])
+    x = np.concatenate([
+        lo + (hi - lo) * sobol(n_out, len(names), seed=7),
+        lo_i + (hi_i - lo_i) * sobol(n_in, len(names), seed=11),
+    ])
     np.save(wd / "x.npy", x)
+
+    def make_par(ob, oc, h):
+        return CosmoParams(
+            omega_b=jnp.asarray(ob), omega_cdm=jnp.asarray(oc),
+            h=jnp.asarray(h),
+            ln10As=jnp.asarray(3.044), ns=jnp.asarray(0.9649),
+            m_ncdm=jnp.asarray(NEUTRINO["m_ncdm"]),
+            n_ur=jnp.asarray(NEUTRINO["n_ur"]),
+            yhe=jnp.asarray(NEUTRINO["yhe"]),
+            deg_ncdm=NEUTRINO["deg_ncdm"],
+        )
 
     z_grid = Z_GRID
     solver = None
 
     if not args.train_only:
-        solver = EBSolver(z_out=z_grid.tolist(), kmax=1.6,
-                          growth_stencil=False)
+        corners = [make_par(*c) for c in
+                   itertools.product(*(BOUNDS[n] for n in names))]
+        solver = EBSolver(z_out=z_grid.tolist(), kmax=SOLVER_KMAX,
+                          growth_stencil=False, envelope=corners)
         kgrid = solver.k_mpc
         np.save(wd / "kgrid.npy", kgrid)
         np.save(wd / "zgrid.npy", np.sort(z_grid)[::-1])
@@ -90,14 +132,7 @@ def main():
             out_i = wd / f"sample_{i:04d}.npz"
             if out_i.exists():
                 continue
-            par = CosmoParams(
-                omega_b=jnp.asarray(x[i, 0]),
-                omega_cdm=jnp.asarray(x[i, 1]),
-                h=jnp.asarray(x[i, 2]),
-                ln10As=jnp.asarray(3.044), ns=jnp.asarray(0.9649),
-                m_ncdm=jnp.asarray(0.02), n_ur=jnp.asarray(0.00641),
-                deg_ncdm=3.0,
-            )
+            par = make_par(*x[i])
             t0 = time.time()
             lp = solver(par)
             # store log transfers: P = Pzeta * T^2 with As/ns of the run —
@@ -133,6 +168,12 @@ def main():
     emu, report = train_pk_emulator(
         np.asarray(xs), np.asarray(ys), kgrid, zgrid,
         ncomp=args.ncomp, degree=args.degree,
+        meta=dict(
+            bounds_lo=lo, bounds_hi=hi, input_names=names,
+            m_ncdm=NEUTRINO["m_ncdm"], deg_ncdm=NEUTRINO["deg_ncdm"],
+            n_ur=NEUTRINO["n_ur"], yhe=NEUTRINO["yhe"],
+            kmax=SOLVER_KMAX, n_train=len(ys),
+        ),
     )
     print("validation:", report)
 
