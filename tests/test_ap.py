@@ -8,36 +8,51 @@ from eftpipe_tpu.models.bird import build_bird_tables, assemble_bird
 from eftpipe_tpu.models.resum import build_resum_tables, resum_ps
 from eftpipe_tpu.models.ap import build_ap_tables, ap_transform, ap_params, lcdm_da, lcdm_hubble
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
 from test_fftlog import smooth_positive
 
 
-@pytest.fixture(scope="module")
-def ref_pybird():
-    return load_reference("pybird.pybird")
+def test_lcdm_background_matches_reference():
+    def compute():
+        ref_pybird = load_reference("pybird.pybird")
+        return {"hubble": np.asarray(ref_pybird.Hubble(0.31, 0.7)),
+                "da": np.asarray(ref_pybird.DAfunc(0.31, 0.7))}
 
-
-def test_lcdm_background_matches_reference(ref_pybird):
-    assert lcdm_hubble(0.31, 0.7) == pytest.approx(ref_pybird.Hubble(0.31, 0.7), rel=1e-12)
-    assert lcdm_da(0.31, 0.7) == pytest.approx(ref_pybird.DAfunc(0.31, 0.7), rel=1e-10)
+    gold = golden_oracle("ap_lcdm_background", compute)
+    assert lcdm_hubble(0.31, 0.7) == pytest.approx(float(gold["hubble"]), rel=1e-12)
+    assert lcdm_da(0.31, 0.7) == pytest.approx(float(gold["da"]), rel=1e-10)
 
 
 @pytest.mark.parametrize("nl,ap_st", [(2, False), (3, True)])
-def test_ap_matches_reference(ref_pybird, nl, ap_st):
+def test_ap_matches_reference(nl, ap_st):
     kin = np.logspace(-5, 0, 200)
     plin = smooth_positive(kin, seed=31)
     f = 0.8
     q = (1.03, 0.96)
 
-    co = ref_pybird.Common(Nl=nl, No=nl)
-    nonlinear = ref_pybird.NonLinear(load=False, save=False, co=co)
-    resum = ref_pybird.Resum(co=co)
-    ap = ref_pybird.APeffect(Om_AP=0.31, z_AP=0.7, APst=ap_st, co=co)
-    bird = ref_pybird.Bird(kin, plin, f, co=co)
-    nonlinear.PsCf(bird)
-    bird.setPsCfl()
-    resum.Ps(bird)
-    ap.AP(bird, q=q)
+    def compute():
+        ref_pybird = load_reference("pybird.pybird")
+        co = ref_pybird.Common(Nl=nl, No=nl)
+        nonlinear = ref_pybird.NonLinear(load=False, save=False, co=co)
+        resum = ref_pybird.Resum(co=co)
+        ap = ref_pybird.APeffect(Om_AP=0.31, z_AP=0.7, APst=ap_st, co=co)
+        bird = ref_pybird.Bird(kin, plin, f, co=co)
+        nonlinear.PsCf(bird)
+        bird.setPsCfl()
+        resum.Ps(bird)
+        ap.AP(bird, q=q)
+        out = {"P11l": bird.P11l, "Pctl": bird.Pctl, "Ploopl": bird.Ploopl}
+        if ap_st:
+            out["Pstl"] = bird.Pstl
+        return out
+
+    gold = golden_oracle(f"ap_spectra_nl{nl}_st{int(ap_st)}", compute)
+
+    class _G:
+        def __getattr__(self, name):
+            return gold[name]
+
+    bird = _G()
 
     cfg = EFTConfig(nl=nl, no=nl)
     nt = build_nonlinear_tables(cfg)
@@ -62,15 +77,21 @@ def test_ap_matches_reference(ref_pybird, nl, ap_st):
         check(state.pstl, bird.Pstl, "Pstl")
 
 
-def test_ap_params(ref_pybird):
+def test_ap_params():
     cfg = EFTConfig()
     at = build_ap_tables(cfg, om_ap=0.31, z_ap=0.7)
-    ap = ref_pybird.APeffect(Om_AP=0.31, z_AP=0.7)
 
-    class FakeBird:
-        DA, H = 0.41, 1.52
+    def compute():
+        ref_pybird = load_reference("pybird.pybird")
+        ap = ref_pybird.APeffect(Om_AP=0.31, z_AP=0.7)
 
+        class FakeBird:
+            DA, H = 0.41, 1.52
+
+        qperp_ref, qpar_ref = ap.get_AP_param(FakeBird())
+        return {"q": np.array([qperp_ref, qpar_ref])}
+
+    gold = golden_oracle("ap_params", compute)
     qperp, qpar = ap_params(at, 0.41, 1.52)
-    qperp_ref, qpar_ref = ap.get_AP_param(FakeBird())
-    assert float(qperp) == pytest.approx(qperp_ref, rel=1e-10)
-    assert float(qpar) == pytest.approx(qpar_ref, rel=1e-10)
+    assert float(qperp) == pytest.approx(float(gold["q"][0]), rel=1e-10)
+    assert float(qpar) == pytest.approx(float(gold["q"][1]), rel=1e-10)

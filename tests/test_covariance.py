@@ -7,23 +7,36 @@ from eftpipe_tpu.likelihood.covariance import (
     parse_subscripts,
 )
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
+
+SUBSCRIPTS = ("aa->aaaa", "aa,bb,ab->aabb", "aa,bb,ab->abab", "aa,bb,ab->bbba")
 
 
 def test_legendre4_matches_reference_table():
-    ref_cov = load_reference("covariance")
-    for key, val in ref_cov.Gabcd.items():
-        assert abs(legendre4_integral(*key) - val) < 1e-12, key
+    def compute():
+        ref_cov = load_reference("covariance")
+        keys = np.array(sorted(ref_cov.Gabcd))
+        vals = np.array([ref_cov.Gabcd[tuple(k)] for k in keys])
+        return {"keys": keys, "vals": vals}
+
+    gold = golden_oracle("covariance_gabcd", compute)
+    for key, val in zip(gold["keys"], gold["vals"]):
+        assert abs(legendre4_integral(*key) - val) < 1e-12, tuple(key)
 
 
 def test_parse_subscripts_matches_reference():
-    ref_cov = load_reference("covariance")
-    for sub in ("aa->aaaa", "aa,bb,ab->aabb", "aa,bb,ab->abab", "aa,bb,ab->bbba"):
-        assert parse_subscripts(sub) == ref_cov.parse_subscripts(sub)
+    def compute():
+        ref_cov = load_reference("covariance")
+        return {
+            "parsed": np.array([repr(ref_cov.parse_subscripts(s)) for s in SUBSCRIPTS])
+        }
+
+    gold = golden_oracle("covariance_parse_subscripts", compute)
+    for sub, parsed_ref in zip(SUBSCRIPTS, gold["parsed"]):
+        assert repr(parse_subscripts(sub)) == str(parsed_ref)
 
 
 def test_fullcov_matches_reference():
-    ref_cov = load_reference("covariance")
     rng = np.random.default_rng(0)
     kedges = np.linspace(0, 0.3, 31)
     n = kedges.size - 1
@@ -36,15 +49,21 @@ def test_fullcov_matches_reference():
         )
 
     paa, pbb, pab = mk(1e4, 1e4), mk(1e3, 5e3), mk(4e3, 0.0)
-    ref = ref_cov.GaussianCovariance(kedges, volume=8.0).fullcov(
-        ref_cov.Multipole(**paa), ref_cov.Multipole(**pbb), ref_cov.Multipole(**pab)
-    )
+
+    def compute():
+        ref_cov = load_reference("covariance")
+        return {"fullcov": ref_cov.GaussianCovariance(kedges, volume=8.0).fullcov(
+            ref_cov.Multipole(**paa), ref_cov.Multipole(**pbb),
+            ref_cov.Multipole(**pab),
+        )}
+
+    gold = golden_oracle("covariance_fullcov", compute)
     ours = GaussianCovariance(kedges, volume=8.0).fullcov(
         Multipole(paa["P0"], paa["P2"], paa["P4"]),
         Multipole(pbb["P0"], pbb["P2"], pbb["P4"]),
         Multipole(pab["P0"], pab["P2"], pab["P4"]),
     )
-    np.testing.assert_allclose(ours, ref, rtol=1e-10)
+    np.testing.assert_allclose(ours, gold["fullcov"], rtol=1e-10)
 
 
 def test_copy_block_diag():

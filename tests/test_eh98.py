@@ -6,16 +6,22 @@ from eftpipe_tpu.boltzmann.eh98 import eh98_pk, lcdm_growth, lcdm_background
 from eftpipe_tpu.boltzmann.background import growth_rate_lcdm, growth_factor_lcdm
 from eftpipe_tpu.models.ap import lcdm_da, lcdm_hubble
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
+
+GROWTH_POINTS = [(0.31, 0.7), (0.25, 1.0), (0.35, 0.0)]
 
 
 def test_growth_matches_reference_quadrature():
-    ref = load_reference("pybird.pybird")
-    for om, z in [(0.31, 0.7), (0.25, 1.0), (0.35, 0.0)]:
+    def compute():
+        ref = load_reference("pybird.pybird")
+        return {"fn": np.array([ref.fN(om, z) for om, z in GROWTH_POINTS])}
+
+    gold = golden_oracle("eh98_growth_fn", compute)
+    for (om, z), fn_ref in zip(GROWTH_POINTS, gold["fn"]):
         d, f = lcdm_growth(jnp.asarray(om), jnp.asarray(z))
-        assert float(f) == pytest.approx(ref.fN(om, z), rel=1e-8)
+        assert float(f) == pytest.approx(fn_ref, rel=1e-8)
         assert float(d) == pytest.approx(growth_factor_lcdm(om, z), rel=1e-8)
-        assert growth_rate_lcdm(om, z) == pytest.approx(ref.fN(om, z), rel=1e-10)
+        assert growth_rate_lcdm(om, z) == pytest.approx(fn_ref, rel=1e-10)
 
 
 def test_background_matches_host_quadrature():

@@ -7,14 +7,19 @@ from eftpipe_tpu.models.config import EFTConfig
 from eftpipe_tpu.models.icc import compute_psn, ic_panel_to_ndarray, compute_ic_wal
 from eftpipe_tpu.ops.fftlog2d import bessel_matrix, HostFFTLog2D
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
 
 
 def test_bessel_matrix_matches_reference_and_quadrature():
-    ref = load_reference("fftlog2d")
     p = np.array([-2.0 + 0.3j, -2.5 - 1.0j, -1.7 + 2.2j])
+
+    def compute():
+        ref = load_reference("fftlog2d")
+        return {f"l{l}": ref.bessel_matrix(p, l) for l in (0, 2, 4)}
+
+    gold = golden_oracle("icc_bessel_matrix", compute)
     for l in (0, 2, 4):
-        np.testing.assert_allclose(bessel_matrix(p, l), ref.bessel_matrix(p, l), rtol=1e-12)
+        np.testing.assert_allclose(bessel_matrix(p, l), gold[f"l{l}"], rtol=1e-12)
     # analytic moment vs direct (damped) quadrature at a real power
     l, pw = 2, -2.3
     got = bessel_matrix(np.array([pw]), l)[0]
@@ -24,7 +29,6 @@ def test_bessel_matrix_matches_reference_and_quadrature():
 
 
 def test_ic_panel_to_ndarray_matches_reference_fallback():
-    ref_icc = load_reference("icc")
     rng = np.random.default_rng(0)
     l1 = np.array([0.0, 2.0])
     l2 = np.array([0.0, 2.0, 4.0])
@@ -39,32 +43,43 @@ def test_ic_panel_to_ndarray_matches_reference_fallback():
     arr = np.array(rows)
     arr_shuffled = arr[rng.permutation(arr.shape[0])]
     ours, meta = ic_panel_to_ndarray(arr_shuffled)
-    theirs, _ = ref_icc.ICpannel_to_ndarray(arr_shuffled, inorder=False, info=lambda *a: None)
-    np.testing.assert_allclose(ours, theirs, rtol=0, atol=0)
+
+    def compute():
+        ref_icc = load_reference("icc")
+        theirs, _ = ref_icc.ICpannel_to_ndarray(
+            arr_shuffled, inorder=False, info=lambda *a: None)
+        return {"panel": theirs}
+
+    gold = golden_oracle("icc_panel_ndarray", compute)
+    np.testing.assert_allclose(ours, gold["panel"], rtol=0, atol=0)
     ours2, _ = ic_panel_to_ndarray(arr, inorder=True)
     np.testing.assert_allclose(ours, ours2)
 
 
 def test_compute_psn_matches_reference():
-    ref_icc = load_reference("icc")
-    ref_pybird = load_reference("pybird.pybird")
-    co = ref_pybird.Common(Nl=2, No=2)
     cfg = EFTConfig(nl=2, no=2)
 
     s = np.geomspace(0.1, 3000.0, 300)
     w2 = np.stack([np.exp(-((np.log(s / 300)) ** 2)), 0.3 * np.exp(-((np.log(s / 200)) ** 2))])
-    data = np.column_stack([s, w2.T])
-    import tempfile, os
 
-    with tempfile.TemporaryDirectory() as d:
-        sn_file = os.path.join(d, "sn.txt")
-        np.savetxt(sn_file, data)
-        ref = ref_icc.IntegralConstraint.__new__(ref_icc.IntegralConstraint)
-        ref.set_logger(name="test")
-        ref.co = co
-        ref.icc_configspace_SN_file = sn_file
-        ref.meta = dict(Na=2, Nmax=4096, bias=-2.1, window_param=1.0)
-        expected = ref._compute_PSN()
+    def compute():
+        ref_icc = load_reference("icc")
+        ref_pybird = load_reference("pybird.pybird")
+        co = ref_pybird.Common(Nl=2, No=2)
+        data = np.column_stack([s, w2.T])
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            sn_file = os.path.join(d, "sn.txt")
+            np.savetxt(sn_file, data)
+            ref = ref_icc.IntegralConstraint.__new__(ref_icc.IntegralConstraint)
+            ref.set_logger(name="test")
+            ref.co = co
+            ref.icc_configspace_SN_file = sn_file
+            ref.meta = dict(Na=2, Nmax=4096, bias=-2.1, window_param=1.0)
+            return {"psn": ref._compute_PSN()}
+
+    expected = golden_oracle("icc_psn", compute)["psn"]
     got = compute_psn(cfg, s, w2, na=2)
     np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-9 * np.abs(expected).max())
 

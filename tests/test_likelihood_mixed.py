@@ -14,7 +14,7 @@ from eftpipe_tpu.models.pipeline import TracerPipeline, CosmoInputs
 from eftpipe_tpu.likelihood.likelihood import EFTLikelihood, TracerSpec, parse_kmask
 from eftpipe_tpu.likelihood.parambasis import WestCoastBasis, EastCoastBasis
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
 from test_fftlog import smooth_positive
 
 KIN = np.logspace(-5, 0, 200)
@@ -100,9 +100,6 @@ def write_data(tmp_path, name, ells, seed):
 
 @pytest.mark.slow
 def test_mixed_basis_three_tracer_parity(tmp_path):
-    ref_parambasis = load_reference("parambasis")
-    ref_binning = load_reference("binning")
-
     ls = {"LRG": [0, 2, 4], "ELG": [0, 2], "X": [0, 2]}
     kmin = {"LRG": 0.02, "ELG": 0.03, "X": 0.03}
     kmax = {"LRG": 0.20, "ELG": 0.18, "X": 0.15}
@@ -146,46 +143,55 @@ def test_mixed_basis_three_tracer_parity(tmp_path):
     png, pg = like.png_and_pg(inputs, PARAMS)
     result = like.logp(inputs, PARAMS)
 
-    # ---- reference assembly --------------------------------------------
-    ref_bases = {
-        "LRG": ref_parambasis.WestCoastBasis(prefix="LRG_"),
-        "ELG": ref_parambasis.EastCoastBasis(prefix="ELG_"),
-        "X": ref_parambasis.WestCoastBasis(prefix="X_",
-                                           cross_prefix=["LRG_", "ELG_"]),
-    }
-    png_ref_parts, pg_rows = [], {}
+    # ---- reference assembly (golden-backed) -----------------------------
     marg_names = [p for p in like.marginal.names]
-    offsets = {}
-    off = 0
-    for t in ls:
-        co, bird = build_reference(t)
-        kmask = parse_kmask(KOUT, ls[t], kmin[t], kmax[t])
-        lo = min(s.start for s in kmask.values())
-        hi = max(s.stop for s in kmask.values())
-        kout_used = KOUT[lo:hi]
-        kout_mask = parse_kmask(kout_used, ls[t], kmin[t], kmax[t])
-        binning = ref_binning.Binning(kout_used, co=co)
-        birdlike = binning.transform(bird)
-        basis = ref_bases[t]
-        full_params = {**basis.default(), **PARAMS}
-        plk = basis.reduce_Plk(birdlike, full_params).sum()
-        flat_rows = [plk[l // 2, kout_mask[l]] for l in ls[t]]
-        seg = np.hstack(flat_rows)
-        offsets[t] = (off, off + seg.size)
-        off += seg.size
-        png_ref_parts.append(seg)
-        table = basis.reduce_Plk_gaussian_table(birdlike, full_params)
-        for p, row in table.items():
-            if p in marg_names:
-                flat = np.hstack([row[l // 2, kout_mask[l]] for l in ls[t]])
-                pg_rows.setdefault(p, []).append((offsets[t], flat))
-    png_ref = np.hstack(png_ref_parts)
+
+    def compute():
+        ref_parambasis = load_reference("parambasis")
+        ref_binning = load_reference("binning")
+        ref_bases = {
+            "LRG": ref_parambasis.WestCoastBasis(prefix="LRG_"),
+            "ELG": ref_parambasis.EastCoastBasis(prefix="ELG_"),
+            "X": ref_parambasis.WestCoastBasis(prefix="X_",
+                                               cross_prefix=["LRG_", "ELG_"]),
+        }
+        png_ref_parts, pg_rows = [], {}
+        offsets = {}
+        off = 0
+        for t in ls:
+            co, bird = build_reference(t)
+            kmask = parse_kmask(KOUT, ls[t], kmin[t], kmax[t])
+            lo = min(s.start for s in kmask.values())
+            hi = max(s.stop for s in kmask.values())
+            kout_used = KOUT[lo:hi]
+            kout_mask = parse_kmask(kout_used, ls[t], kmin[t], kmax[t])
+            binning = ref_binning.Binning(kout_used, co=co)
+            birdlike = binning.transform(bird)
+            basis = ref_bases[t]
+            full_params = {**basis.default(), **PARAMS}
+            plk = basis.reduce_Plk(birdlike, full_params).sum()
+            flat_rows = [plk[l // 2, kout_mask[l]] for l in ls[t]]
+            seg = np.hstack(flat_rows)
+            offsets[t] = (off, off + seg.size)
+            off += seg.size
+            png_ref_parts.append(seg)
+            table = basis.reduce_Plk_gaussian_table(birdlike, full_params)
+            for p, row in table.items():
+                if p in marg_names:
+                    flat = np.hstack([row[l // 2, kout_mask[l]] for l in ls[t]])
+                    pg_rows.setdefault(p, []).append((offsets[t], flat))
+        png_ref = np.hstack(png_ref_parts)
+        ndata = png_ref.size
+        pg_ref = np.zeros((len(marg_names), ndata))
+        for p, entries in pg_rows.items():
+            i = marg_names.index(p)
+            for (s0, s1), flat in entries:
+                pg_ref[i, s0:s1] = flat
+        return {"png": png_ref, "pg": pg_ref}
+
+    gold = golden_oracle("likelihood_mixed_three_tracer", compute)
+    png_ref, pg_ref = gold["png"], gold["pg"]
     ndata = png_ref.size
-    pg_ref = np.zeros((len(marg_names), ndata))
-    for p, entries in pg_rows.items():
-        i = marg_names.index(p)
-        for (s0, s1), flat in entries:
-            pg_ref[i, s0:s1] = flat
 
     np.testing.assert_allclose(np.asarray(png), png_ref, rtol=5e-6,
                                atol=1e-8 * np.abs(png_ref).max())

@@ -7,16 +7,12 @@ from eftpipe_tpu.models.nonlinear import build_nonlinear_tables, nonlinear_pscf
 from eftpipe_tpu.models.bird import build_bird_tables, assemble_bird
 from eftpipe_tpu.models.resum import build_resum_tables, resum_ps, ir_filters
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
 from test_fftlog import smooth_positive
 
 
-@pytest.fixture(scope="module")
-def ref_pybird():
-    return load_reference("pybird.pybird")
-
-
-def run_reference(ref_pybird, nl, with_nnlo, optiresum, f, kin, plin):
+def run_reference(nl, with_nnlo, optiresum, f, kin, plin):
+    ref_pybird = load_reference("pybird.pybird")
     co = ref_pybird.Common(Nl=nl, No=nl, with_NNLO=with_nnlo, optiresum=optiresum)
     nonlinear = ref_pybird.NonLinear(load=False, save=False, co=co)
     resum = ref_pybird.Resum(co=co)
@@ -38,11 +34,17 @@ def run_ours(nl, with_nnlo, optiresum, f, plin):
     return cfg, bird
 
 
-def test_ir_filters_match_reference(ref_pybird):
+def test_ir_filters_match_reference():
     kin = np.logspace(-5, 0, 200)
     plin = smooth_positive(kin, seed=21)
-    co, bird, resum = run_reference(ref_pybird, 2, False, False, 0.8, kin, plin)
-    x_ref, y_ref = resum.IRFilters(bird)
+
+    def compute():
+        co, bird, resum = run_reference(2, False, False, 0.8, kin, plin)
+        x_ref, y_ref = resum.IRFilters(bird)
+        return {"x": np.asarray(x_ref), "y": np.asarray(y_ref)}
+
+    gold = golden_oracle("resum_ir_filters", compute)
+    x_ref, y_ref = gold["x"], gold["y"]
 
     cfg = EFTConfig(nl=2, no=2)
     rt = build_resum_tables(cfg)
@@ -55,12 +57,26 @@ def test_ir_filters_match_reference(ref_pybird):
     "nl,with_nnlo,optiresum",
     [(2, False, False), (3, True, False), (2, False, True)],
 )
-def test_resummed_spectra_match_reference(ref_pybird, nl, with_nnlo, optiresum):
+def test_resummed_spectra_match_reference(nl, with_nnlo, optiresum):
     kin = np.logspace(-5, 0, 200)
     plin = smooth_positive(kin, seed=23)
     f = 0.77
 
-    co, rbird, _ = run_reference(ref_pybird, nl, with_nnlo, optiresum, f, kin, plin)
+    def compute():
+        co, rbird, _ = run_reference(nl, with_nnlo, optiresum, f, kin, plin)
+        out = {"P11l": rbird.P11l, "Pctl": rbird.Pctl, "Ploopl": rbird.Ploopl}
+        if with_nnlo:
+            out["PctNNLOl"] = rbird.PctNNLOl
+        return out
+
+    tag = f"nl{nl}_{'opti' if optiresum else 'full'}"
+    rbird_gold = golden_oracle(f"resum_spectra_{tag}", compute)
+
+    class _G:  # attribute view of the golden dict
+        def __getattr__(self, name):
+            return rbird_gold[name]
+
+    rbird = _G()
     cfg, bird = run_ours(nl, with_nnlo, optiresum, f, plin)
 
     def check(a, b, label, rtol=2e-6):

@@ -16,7 +16,7 @@ from eftpipe_tpu.models.window import (
 from eftpipe_tpu.models.nonlinear import build_nonlinear_tables, nonlinear_pscf
 from eftpipe_tpu.models.bird import build_bird_tables, assemble_bird
 
-from refbridge import load_reference
+from refbridge import golden_oracle, load_reference
 from test_fftlog import smooth_positive
 
 KIN = np.logspace(-5, 0, 200)
@@ -46,21 +46,32 @@ def florian_matrix(tmp_path_factory):
 
 
 def test_window_matrix_matches_reference(florian_matrix):
-    ref_pb = load_reference("pybird.pybird")
-    ref_window = load_reference("window")
-
     nl = 3
     ells, kmin, kmax = [0, 2], 0.01, 0.2
-    co = ref_pb.Common(Nl=nl, No=nl)
-    wm_ref = ref_window.WindowMatrix.load(
-        str(florian_matrix), ells=ells, kmin=kmin, kmax=kmax, co=co,
-        window_st=True,
-    )
-    bird = ref_pb.Bird(KIN, PLIN, F, co=co)
-    nl_ref = ref_pb.NonLinear(load=False, save=False, co=co)
-    nl_ref.PsCf(bird)
-    bird.setPsCfl()
-    wm_ref.Window(bird)
+
+    def compute():
+        ref_pb = load_reference("pybird.pybird")
+        ref_window = load_reference("window")
+        co = ref_pb.Common(Nl=nl, No=nl)
+        wm_ref = ref_window.WindowMatrix.load(
+            str(florian_matrix), ells=ells, kmin=kmin, kmax=kmax, co=co,
+            window_st=True,
+        )
+        bird = ref_pb.Bird(KIN, PLIN, F, co=co)
+        nl_ref = ref_pb.NonLinear(load=False, save=False, co=co)
+        nl_ref.PsCf(bird)
+        bird.setPsCfl()
+        wm_ref.Window(bird)
+        return {n: np.asarray(getattr(bird, n))
+                for n in ("P11l", "Ploopl", "Pctl", "Pstl")}
+
+    gold = golden_oracle("window_matrix_convolved", compute)
+
+    class _G:
+        def __getattr__(self, name):
+            return gold[name]
+
+    bird = _G()
 
     cfg = EFTConfig(nl=nl, no=nl)
     wmt = build_window_matrix_tables(
@@ -87,15 +98,19 @@ def test_window_matrix_matches_reference(florian_matrix):
 
 
 def test_rearrange_matches_reference_helper(florian_matrix):
-    ref_window = load_reference("window")
     matrix = np.loadtxt(florian_matrix)
-    expected = ref_window.to_window_matrix(
-        matrix,
-        ref_window.PInfo(ells=(0, 2, 4), kmin=0, kmax=0.4, nbins=400),
-        ref_window.PInfo(ells=(0, 1, 2, 3, 4), kmin=0, kmax=0.4, nbins=40),
-        ells_in=(0, 2), kmax_in=0.3, ells_out=(0, 2), kmin_out=0.02,
-        kmax_out=0.18,
-    )
+
+    def compute():
+        ref_window = load_reference("window")
+        return {"expected": ref_window.to_window_matrix(
+            matrix,
+            ref_window.PInfo(ells=(0, 2, 4), kmin=0, kmax=0.4, nbins=400),
+            ref_window.PInfo(ells=(0, 1, 2, 3, 4), kmin=0, kmax=0.4, nbins=40),
+            ells_in=(0, 2), kmax_in=0.3, ells_out=(0, 2), kmin_out=0.02,
+            kmax_out=0.18,
+        )}
+
+    expected = golden_oracle("window_matrix_rearrange", compute)["expected"]
     got = rearrange_window_matrix(
         matrix,
         in_ells=(0, 2, 4), in_kmin=0.0, in_kmax=0.4, in_nbins=400,
@@ -111,12 +126,23 @@ def test_rearrange_matches_reference_helper(florian_matrix):
 def test_ir_cutoff_modes_match_reference(mode):
     """The kIR low-k cut applied to the FFTLog inputs (pybird.py Coef,
     'all' | 'loop' | 'resum')."""
-    ref_pb = load_reference("pybird.pybird")
-    co = ref_pb.Common(Nl=2, No=2, IRcutoff=mode, kIR=1e-3)
-    bird = ref_pb.Bird(KIN, PLIN, F, co=co)
-    nl_ref = ref_pb.NonLinear(load=False, save=False, co=co)
-    nl_ref.PsCf(bird)
-    bird.setPsCfl()
+    def compute():
+        ref_pb = load_reference("pybird.pybird")
+        co = ref_pb.Common(Nl=2, No=2, IRcutoff=mode, kIR=1e-3)
+        bird = ref_pb.Bird(KIN, PLIN, F, co=co)
+        nl_ref = ref_pb.NonLinear(load=False, save=False, co=co)
+        nl_ref.PsCf(bird)
+        bird.setPsCfl()
+        return {n: np.asarray(getattr(bird, n))
+                for n in ("P11l", "Ploopl", "Pctl")}
+
+    gold = golden_oracle(f"ir_cutoff_{mode}", compute)
+
+    class _G:
+        def __getattr__(self, name):
+            return gold[name]
+
+    bird = _G()
 
     cfg = EFTConfig(nl=2, no=2, ir_cutoff=mode, k_ir=1e-3)
     nt = build_nonlinear_tables(cfg)
