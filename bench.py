@@ -149,6 +149,20 @@ def main() -> None:
         dt = run_timed(logp_batch, batches)
         value = batch * iters / dt / n_dev
 
+    if os.environ.get("BENCH_PROFILE", "0") != "0":
+        from eftpipe_tpu.utils.profiling import (
+            likelihood_stage_prefixes, run_stage_profile,
+        )
+
+        prefixes = likelihood_stage_prefixes(
+            model.providers, {"like": model.like}, model.params_dict, dtype
+        )
+        extra.update(run_stage_profile(
+            prefixes,
+            lambda: _make_batches(theta0, batch, iters + 1, dtype, jnp),
+            run_timed, batch, iters,
+        ))
+
     if os.environ.get("BENCH_ACCURACY", "1") != "0" and dtype_flag != "float64":
         acc = _run_accuracy_check(model, jax, jnp, dtype)
         extra.update(acc)

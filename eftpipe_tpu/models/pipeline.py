@@ -121,10 +121,13 @@ class TracerPipeline:
         self.frozen = jax.tree.map(lambda a: np.asarray(a), frozen)
         return self
 
-    def compute_bird(self, inputs: CosmoInputs, with_snapshots: bool = False):
+    def compute_bird(self, inputs: CosmoInputs, with_snapshots: bool = False,
+                     stop_after: str | None = None):
         """Full bird pipeline; with ``with_snapshots`` also returns the
         intermediate state after each enabled stage (reference BirdSnapshot,
-        pybird.py:616-632)."""
+        pybird.py:616-632).  ``stop_after`` truncates the pipeline after the
+        named stage — the stage-prefix hook used by the BENCH_PROFILE timing
+        decomposition (utils/profiling.py)."""
         import jax
 
         cfg = self.cfg
@@ -139,23 +142,33 @@ class TracerPipeline:
                 out = nonlinear_pscf(self.nt, cfg, plin)
             bird = assemble_bird(self.bt, cfg, out, plin, f)
         snaps["nonlinear"] = bird
+        if stop_after == "nonlinear":
+            return bird
         if self.rt is not None:
             xpyp = self.frozen.get("xpyp") if self.frozen is not None else None
             with jax.named_scope("IRresum"):
                 bird = resum_ps(self.rt, cfg, bird, plin, xpyp=xpyp)
             snaps["IRresum"] = bird
+        if stop_after == "IRresum":
+            return bird
         if self.at is not None:
             with jax.named_scope("APeffect"):
                 bird = ap_transform(self.at, cfg, bird, inputs.qperp, inputs.qpar)
             snaps["APeffect"] = bird
+        if stop_after == "APeffect":
+            return bird
         if self.wt is not None:
             with jax.named_scope("window"):
                 bird = apply_window(self.wt, cfg, bird)
             snaps["window"] = bird
+        if stop_after == "window":
+            return bird
         if self.wmt is not None:
             with jax.named_scope("window_matrix"):
                 bird = apply_window_matrix(self.wmt, cfg, bird)
             snaps["window_matrix"] = bird
+        if stop_after == "window_matrix":
+            return bird
         if self.ft is not None:
             with jax.named_scope("fiber"):
                 bird = apply_fiber(self.ft, cfg, bird)

@@ -156,3 +156,126 @@ def test_production_both_blocks_on_boltzmann_emulator(tmp_path):
     assert abs(logp_emu - logp_solver) < 0.5, (
         f"emulator logp {logp_emu:.3f} vs solver logp {logp_solver:.3f}"
     )
+
+
+@pytest.mark.slow
+def test_production_fidelity_window_build(tmp_path):
+    """VERDICT r2 item 7: prove the window cache-artifact format at
+    PRODUCTION settings.  The DR16 gates run nmax=1024/accboost=1 windows
+    for speed; the production YAML uses acc4 fourier caches.  Build one
+    tracer's Wal at nmax=4096/accboost=4, round-trip it through the
+    window_fourier_file save/load path (meta sidecar included), and confirm
+    (a) the loaded build reproduces the computed chi2 exactly and (b) the
+    light-settings chi2 anchor is converged: upgrading one tracer to
+    production fidelity moves the NGC chi2 by < 0.1."""
+
+    def build(lrg_window):
+        info = convert_cobaya_config(YAML, data_root=REF / "cobaya",
+                                     boltzmann={"name": "eh98"},
+                                     cache_dir=tmp_path / "cache")
+        info["likelihood"] = {"LEX_NGC": info["likelihood"]["LEX_NGC"]}
+        keep = set(info["likelihood"]["LEX_NGC"]["tracers"]) | {"default"}
+        info["theory"]["tracers"] = {
+            t: cfg for t, cfg in info["theory"]["tracers"].items() if t in keep
+        }
+        for t, tcfg in info["theory"]["tracers"].items():
+            win = tcfg.get("with_window")
+            if isinstance(win, dict):
+                win.pop("window_fourier_file", None)
+                if t == "LRG_NGC":
+                    win.update(lrg_window)
+                else:
+                    win["accboost"] = 1
+                    win["nmax"] = 1024
+
+        from eftpipe_tpu.api.orchestrate import Analysis
+
+        an = Analysis.from_config(info)
+        theta0 = jnp.asarray(an.space.theta0())
+        return float(jax.jit(an.loglike)(theta0)["fullchi2"])
+
+    fourier = tmp_path / "wal_lrg_ngc_acc4.npy"
+    prod = dict(accboost=4, nmax=4096, window_fourier_file=str(fourier))
+
+    chi2_light = build(dict(accboost=1, nmax=1024))
+    chi2_prod = build(prod)           # computes + writes the fourier artifact
+    assert fourier.exists() and fourier.with_suffix(".json").exists()
+    chi2_loaded = build(prod)         # loads the artifact (meta validated)
+    # (a) the artifact round-trip is exact
+    assert chi2_loaded == chi2_prod
+    # (b) the light-settings anchor is converged at production fidelity
+    assert abs(chi2_prod - chi2_light) < 0.1, (
+        f"chi2 light {chi2_light:.4f} vs production-window {chi2_prod:.4f}"
+    )
+
+
+@pytest.mark.slow
+def test_production_posterior_recovery_on_mock(tmp_path):
+    """VERDICT r2 item 1b: prove the POSTERIOR, not just point evaluations.
+
+    The converted DR16 production config (NGC block: real survey windows,
+    chained ELG, LRG×ELG cross, Jeffreys-marginalized nuisances,
+    Boltzmann-grade solver-emulator cosmology) is run as a short on-device
+    ensemble chain against mock data generated by the pipeline itself at a
+    known truth.  The recovered posterior must (a) mix (split-R̂ − 1 below a
+    short-chain threshold) and (b) recover the truth: every sampled
+    parameter's posterior mean within 0.5σ (noiseless mock ⇒ the posterior
+    peaks at truth up to the Jeffreys/prior-truncation skew).  This is the
+    reference's actual production mode — full Cobaya chains with
+    R−1 ≤ 0.0005 (the sampler block of DR16_noric_LEX_*_xnost.yaml) — cut
+    down to CI size."""
+    from eftpipe_tpu.boltzmann.emulator import DEFAULT_PK_ARTIFACT
+
+    if not DEFAULT_PK_ARTIFACT.exists():
+        pytest.skip("trained pk emulator artifact missing")
+
+    info = convert_cobaya_config(
+        YAML, data_root=REF / "cobaya",
+        boltzmann={"name": "solver_emulator", "use_cb": True,
+                   "om_fid": 0.307115},
+        cache_dir=tmp_path / "cache",
+    )
+    info["likelihood"] = {"LEX_NGC": info["likelihood"]["LEX_NGC"]}
+    keep = set(info["likelihood"]["LEX_NGC"]["tracers"]) | {"default"}
+    info["theory"]["tracers"] = {
+        t: cfg for t, cfg in info["theory"]["tracers"].items() if t in keep
+    }
+    for t, tcfg in info["theory"]["tracers"].items():
+        win = tcfg.get("with_window")
+        if isinstance(win, dict):
+            win.pop("window_fourier_file", None)
+            win["accboost"] = 1
+            win["nmax"] = 1024
+
+    from eftpipe_tpu.api.orchestrate import Analysis
+
+    an = Analysis.from_config(info)
+    lk = an.likes["LEX_NGC"]
+
+    # ---- mock data at a known truth --------------------------------------
+    theta_true = np.asarray(an.space.theta0())
+    params = an.params_dict(jnp.asarray(theta_true))
+    inputs = an._inputs(params, list(lk.runtimes))
+    png, _ = lk.png_and_pg(inputs, params)
+    lk.data_vector = np.asarray(png)  # noiseless mock: posterior peaks at truth
+    res0 = jax.jit(an.loglike)(jnp.asarray(theta_true))
+    assert float(res0["fullchi2"]) < 1e-6  # zero residual at truth
+
+    # ---- short on-device chain -------------------------------------------
+    result = an.run_mcmc(
+        nwalkers=48, out=str(tmp_path / "chains/mock"), rhat_tol=0.02,
+        max_steps=400, with_derived=False,
+    )
+    flat = result.flat(burn_frac=0.5)
+    assert flat.shape[0] >= 48 * 50
+
+    # (a) mixing: a 400-step ensemble won't hit the production R−1 ≤ 5e-4,
+    # but it must be clearly converging
+    assert np.max(result.rminus1) < 0.2, f"R-1 = {result.rminus1}"
+
+    mean = flat.mean(axis=0)
+    std = flat.std(axis=0)
+    pulls = (mean - theta_true) / np.maximum(std, 1e-12)
+    report = {p: round(float(x), 2) for p, x in zip(an.space.sampled, pulls)}
+    # (b) truth recovery: every sampled parameter within 0.5 sigma
+    assert np.all(np.abs(pulls) < 0.5), f"posterior pulls (sigma): {report}"
