@@ -92,9 +92,9 @@ def main() -> None:
     dtype = jnp.float64 if dtype_flag == "float64" else jnp.float32
 
     workdir = os.environ.get("BENCH_WORKDIR", "bench_assets")
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
     chunk = int(os.environ.get("BENCH_CHUNK", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
 
     model = build_flagship(workdir, dtype=dtype)
     logp_batch = jax.jit(chunked_vmap(model.logp, chunk_size=min(chunk, batch)))
@@ -103,21 +103,35 @@ def main() -> None:
     n_dev = max(1, len(jax.devices()))
     shard = os.environ.get("BENCH_SHARD", "0") != "0" and n_dev > 1
 
+    # finiteness checks are DEFERRED until every timed section has run: on
+    # the axon tunnel ANY device→host transfer (bool()/np.asarray/float())
+    # permanently switches the session into a ~25 ms-per-call latency mode,
+    # which would tax every subsequent timed call (measured: trivial jitted
+    # call 0.03 ms before a transfer, ~25 ms after, with no way to reset)
+    pending_outs = []
+
     def run_timed(fn, batches):
         # one distinct batch per iteration (plus one warmup-only batch): the
         # TPU tunnel caches identical (executable, inputs) executions, so
         # re-running the warmup batch inside the timed loop would be free
         out = fn(batches[0])
         out.block_until_ready()  # compile + warmup (this batch is never re-timed)
-        if not bool(jnp.isfinite(out).all()):
-            print(json.dumps({"metric": "error", "value": 0, "unit": "",
-                              "vs_baseline": 0, "detail": "non-finite logp"}))
-            sys.exit(1)
         t0 = time.perf_counter()
         for thetas in batches[1:]:
             out = fn(thetas)
             out.block_until_ready()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        pending_outs.append(out)
+        return dt
+
+    def check_finite():
+        for out in pending_outs:
+            if not bool(jnp.isfinite(out).all()):
+                print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                                  "vs_baseline": 0,
+                                  "detail": "non-finite logp"}))
+                sys.exit(1)
+        pending_outs.clear()
 
     extra = {}
     if shard:
@@ -138,10 +152,18 @@ def main() -> None:
         dt = run_timed(logp_plain, shard_batches)
         value = full * iters / dt / n_dev
         # perfect scaling: the sharded run of n_dev x per_chip walkers takes
-        # the single-device per_chip time
+        # the single-device per_chip time.  On a virtual mesh backed by
+        # fewer physical cores than devices the ceiling of scaling_eff is
+        # (cores / n_dev) — scaling_eff_vs_serial normalizes that out (1.0 =
+        # sharding adds no overhead over perfectly serialized per-device
+        # work), which is the meaningful number on a single-core host.
+        ncores = os.cpu_count() or 1
         extra = {
             "n_devices": n_dev,
+            "physical_cores": ncores,
             "scaling_eff": round(t_single / dt, 4),
+            "scaling_eff_vs_serial": round(
+                t_single * (n_dev / min(n_dev, ncores)) / dt, 4),
             "single_chip_evals_per_sec": round(per_chip * iters / t_single, 2),
         }
     else:
@@ -157,11 +179,16 @@ def main() -> None:
         prefixes = likelihood_stage_prefixes(
             model.providers, {"like": model.like}, model.params_dict, dtype
         )
+        # the prefixes run un-chunked (plain vmap), so cap the profile batch
+        # — at large BENCH_BATCH the full-batch intermediates would OOM
+        pbatch = min(batch, 512)
         extra.update(run_stage_profile(
             prefixes,
-            lambda: _make_batches(theta0, batch, iters + 1, dtype, jnp),
-            run_timed, batch, iters,
+            lambda: _make_batches(theta0, pbatch, iters + 1, dtype, jnp),
+            run_timed, pbatch, iters,
         ))
+
+    check_finite()  # first device→host transfer — after ALL timing
 
     if os.environ.get("BENCH_ACCURACY", "1") != "0" and dtype_flag != "float64":
         acc = _run_accuracy_check(model, jax, jnp, dtype)

@@ -84,14 +84,16 @@ class TransferEmulator:
     def load(cls, path) -> "TransferEmulator":
         with np.load(path) as z:
             n = int(z["nlayers"])
+            # host copies (see PkEmulator.load: device→host reads of artifact
+            # metadata degrade the axon tunnel's per-call latency)
             params = [
-                {"w": jnp.asarray(z[f"w{i}"]), "b": jnp.asarray(z[f"b{i}"])}
+                {"w": np.asarray(z[f"w{i}"]), "b": np.asarray(z[f"b{i}"])}
                 for i in range(n)
             ]
             return cls(
                 params=params, kgrid=z["kgrid"],
-                x_mean=jnp.asarray(z["x_mean"]), x_std=jnp.asarray(z["x_std"]),
-                y_mean=jnp.asarray(z["y_mean"]), y_std=jnp.asarray(z["y_std"]),
+                x_mean=np.asarray(z["x_mean"]), x_std=np.asarray(z["x_std"]),
+                y_mean=np.asarray(z["y_mean"]), y_std=np.asarray(z["y_std"]),
             )
 
 
@@ -283,6 +285,20 @@ class PkEmulator:
     input_names: tuple = ("omega_b", "omega_cdm", "h")
     bounds_lo: np.ndarray | None = None   # training box (input_names order)
     bounds_hi: np.ndarray | None = None
+    # optional second (inner-region) ridge, smoothly blended over the
+    # inner box: pred = (1-w)·global + w·inner with w a C¹ smoothstep bump
+    # that is exactly 1 inside [blend_lo, blend_hi] and 0 outside the
+    # margin-expanded box the inner ridge was trained on.  Keeps the
+    # posterior-dense region at ~1e-4 |Δlog T| while the global ridge
+    # covers the full prior-validity box (gradient-smooth for HMC).
+    coeffs_in: jnp.ndarray | None = None
+    y_mean_in: jnp.ndarray | None = None
+    x_mean_in: jnp.ndarray | None = None
+    x_std_in: jnp.ndarray | None = None
+    degree_in: int | None = None
+    blend_lo: np.ndarray | None = None    # w=1 box (nominal inner bounds)
+    blend_hi: np.ndarray | None = None
+    blend_margin: np.ndarray | None = None  # band width per input (raw units)
     m_ncdm: float | None = None           # eV per massive species
     deg_ncdm: float | None = None         # massive species count
     n_ur: float | None = None             # massless families
@@ -290,8 +306,30 @@ class PkEmulator:
     meta: dict | None = None               # kmax, n_train, ...
 
     def raw(self, x):
-        xn = (jnp.asarray(x) - self.x_mean) / self.x_std
-        return self.y_mean + _poly_design(xn, self.degree) @ self.coeffs
+        x = jnp.asarray(x)
+        xn = (x - jnp.asarray(self.x_mean, x.dtype)) / jnp.asarray(
+            self.x_std, x.dtype)
+        pred = jnp.asarray(self.y_mean, x.dtype) + _poly_design(
+            xn, self.degree) @ jnp.asarray(self.coeffs, x.dtype)
+        if self.coeffs_in is None:
+            return pred
+        xi = (x - jnp.asarray(self.x_mean_in, x.dtype)) / jnp.asarray(
+            self.x_std_in, x.dtype)
+        pred_in = jnp.asarray(self.y_mean_in, x.dtype) + _poly_design(
+            xi, self.degree_in) @ jnp.asarray(self.coeffs_in, x.dtype)
+        lo = jnp.asarray(self.blend_lo, x.dtype)
+        hi = jnp.asarray(self.blend_hi, x.dtype)
+        m = jnp.asarray(self.blend_margin, x.dtype)
+
+        def smoothstep(t):
+            t = jnp.clip(t, 0.0, 1.0)
+            return t * t * (3.0 - 2.0 * t)
+
+        w = jnp.prod(
+            smoothstep((x - (lo - m)) / m) * smoothstep(((hi + m) - x) / m),
+            axis=-1, keepdims=True,
+        )
+        return (1.0 - w) * pred + w * pred_in
 
     def unpack(self, y):
         """y (d,) -> (log T_m (nz, nk), log T_cb (nz, nk), log rdrag)."""
@@ -320,6 +358,17 @@ class PkEmulator:
         if self.bounds_lo is not None:
             extra["bounds_lo"] = np.asarray(self.bounds_lo)
             extra["bounds_hi"] = np.asarray(self.bounds_hi)
+        if self.coeffs_in is not None:
+            extra.update(
+                coeffs_in=np.asarray(self.coeffs_in),
+                y_mean_in=np.asarray(self.y_mean_in),
+                x_mean_in=np.asarray(self.x_mean_in),
+                x_std_in=np.asarray(self.x_std_in),
+                degree_in=int(self.degree_in),
+                blend_lo=np.asarray(self.blend_lo),
+                blend_hi=np.asarray(self.blend_hi),
+                blend_margin=np.asarray(self.blend_margin),
+            )
         for name in ("m_ncdm", "deg_ncdm", "n_ur", "yhe"):
             v = getattr(self, name)
             if v is not None:
@@ -341,30 +390,77 @@ class PkEmulator:
                 return float(z[name]) if name in z.files else None
 
             meta = {k[5:]: z[k].item() for k in z.files if k.startswith("meta_")}
+            # keep HOST copies: metadata reads (box validation at build time)
+            # must not touch the device — on the axon tunnel any device→host
+            # transfer permanently degrades per-call latency (~25 ms/call)
             return cls(
-                coeffs=jnp.asarray(z["coeffs"]), y_mean=jnp.asarray(z["y_mean"]),
-                x_mean=jnp.asarray(z["x_mean"]), x_std=jnp.asarray(z["x_std"]),
+                coeffs=np.asarray(z["coeffs"]), y_mean=np.asarray(z["y_mean"]),
+                x_mean=np.asarray(z["x_mean"]), x_std=np.asarray(z["x_std"]),
                 degree=int(z["degree"]), kgrid=z["kgrid"], z_grid=z["z_grid"],
                 bounds_lo=z["bounds_lo"] if "bounds_lo" in z.files else None,
                 bounds_hi=z["bounds_hi"] if "bounds_hi" in z.files else None,
                 m_ncdm=opt("m_ncdm"), deg_ncdm=opt("deg_ncdm"),
                 n_ur=opt("n_ur"), yhe=opt("yhe"), meta=meta or None,
+                **({
+                    "coeffs_in": np.asarray(z["coeffs_in"]),
+                    "y_mean_in": np.asarray(z["y_mean_in"]),
+                    "x_mean_in": np.asarray(z["x_mean_in"]),
+                    "x_std_in": np.asarray(z["x_std_in"]),
+                    "degree_in": int(z["degree_in"]),
+                    "blend_lo": np.asarray(z["blend_lo"]),
+                    "blend_hi": np.asarray(z["blend_hi"]),
+                    "blend_margin": np.asarray(z["blend_margin"]),
+                } if "coeffs_in" in z.files else {}),
             )
+
+
+def _ridge_fit(x, y, degree: int, ridge: float, ncomp: int):
+    """One PCA + polynomial-ridge fit.  Returns (coeffs, y_mean, x_mean,
+    x_std) with the log-r_drag column (last) refit outside the PCA — it is
+    a single scalar with small variance relative to the transfer block and
+    the compression would dilute it."""
+    import numpy.linalg as la
+    from itertools import combinations_with_replacement
+
+    y_mean = y.mean(0)
+    yc = y - y_mean
+    _, _, vt = np.linalg.svd(yc, full_matrices=False)
+    comps = vt[:ncomp]
+    c = yc @ comps.T
+    x_mean, x_std = x.mean(0), x.std(0) + 1e-12
+
+    xn = (x - x_mean) / x_std
+    cols = [np.ones(len(xn))]
+    for d in range(1, degree + 1):
+        for combo in combinations_with_replacement(range(x.shape[1]), d):
+            col = np.ones(len(xn))
+            for j in combo:
+                col = col * xn[:, j]
+            cols.append(col)
+    a = np.stack(cols, axis=1)
+
+    gram = a.T @ a + ridge * np.eye(a.shape[1])
+    coeffs = la.solve(gram, a.T @ c) @ comps  # (nterms, d)
+    coeffs[:, -1] = la.solve(gram, a.T @ yc[:, -1])
+    return coeffs, y_mean, x_mean, x_std
 
 
 def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 96,
                       degree: int = 5, ridge: float = 1e-8, seed: int = 0,
-                      val_frac: float = 0.1, meta: dict | None = None) -> tuple:
+                      val_frac: float = 0.1, meta: dict | None = None,
+                      inner_bounds=None, degree_in: int = 7,
+                      margin_frac: float = 0.15) -> tuple:
     """Fit the PCA + polynomial-ridge emulator on solver outputs.
 
     x: (n, 3) raw inputs; y: (n, d) raw targets (log transfers + log rdrag).
     ``meta`` carries artifact provenance (bounds_lo/hi, m_ncdm, deg_ncdm,
     n_ur, yhe, solver settings) — stored in the npz and validated at load.
+    With ``inner_bounds=(lo, hi)`` a second degree-``degree_in`` ridge is
+    fit on the samples inside the margin-expanded inner box and smoothly
+    blended in (w=1 over the nominal inner box): the posterior-dense region
+    gets ~1e-4 |Δlog T| while the global ridge covers the full box.
     Returns (PkEmulator, dict of validation errors).
     """
-    import numpy.linalg as la
-    from itertools import combinations_with_replacement
-
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     n = x.shape[0]
@@ -373,45 +469,36 @@ def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 96,
     nval = max(4, int(val_frac * n))
     vi, ti = perm[:nval], perm[nval:]
 
-    y_mean = y[ti].mean(0)
-    yc = y[ti] - y_mean
-    _, _, vt = np.linalg.svd(yc, full_matrices=False)
-    comps = vt[:ncomp]
-    c = yc @ comps.T
-    x_mean, x_std = x[ti].mean(0), x[ti].std(0) + 1e-12
+    coeffs, y_mean, x_mean, x_std = _ridge_fit(
+        x[ti], y[ti], degree, ridge, ncomp)
 
-    def design_np(xarr):
-        xn = (xarr - x_mean) / x_std
-        cols = [np.ones(len(xn))]
-        for d in range(1, degree + 1):
-            for combo in combinations_with_replacement(range(x.shape[1]), d):
-                col = np.ones(len(xn))
-                for j in combo:
-                    col = col * xn[:, j]
-                cols.append(col)
-        return np.stack(cols, axis=1)
-
-    a = design_np(x[ti])
-    w = la.solve(a.T @ a + ridge * np.eye(a.shape[1]), a.T @ c)
-    coeffs = w @ comps  # (nterms, d)
-    # log r_drag is a single scalar column with small variance relative to
-    # the transfer block — the PCA compression dilutes it; refit it directly
-    coeffs[:, -1] = la.solve(
-        a.T @ a + ridge * np.eye(a.shape[1]), a.T @ yc[:, -1]
-    )
+    inner_kw = {}
+    if inner_bounds is not None:
+        lo_i = np.asarray(inner_bounds[0], np.float64)
+        hi_i = np.asarray(inner_bounds[1], np.float64)
+        margin = margin_frac * (hi_i - lo_i)
+        in_exp = np.all(
+            (x >= lo_i - margin) & (x <= hi_i + margin), axis=1)
+        ie = ti[in_exp[ti]]
+        ci, ymi, xmi, xsi = _ridge_fit(x[ie], y[ie], degree_in, ridge, ncomp)
+        inner_kw = dict(
+            coeffs_in=ci, y_mean_in=ymi, x_mean_in=xmi, x_std_in=xsi,
+            degree_in=degree_in, blend_lo=lo_i, blend_hi=hi_i,
+            blend_margin=margin,
+        )
 
     meta = dict(meta or {})
     emu = PkEmulator(
-        coeffs=jnp.asarray(coeffs), y_mean=jnp.asarray(y_mean),
-        x_mean=jnp.asarray(x_mean), x_std=jnp.asarray(x_std),
+        coeffs=coeffs, y_mean=y_mean, x_mean=x_mean, x_std=x_std,
         degree=degree, kgrid=np.asarray(kgrid), z_grid=np.asarray(z_grid),
         bounds_lo=meta.pop("bounds_lo", None),
         bounds_hi=meta.pop("bounds_hi", None),
         m_ncdm=meta.pop("m_ncdm", None), deg_ncdm=meta.pop("deg_ncdm", None),
         n_ur=meta.pop("n_ur", None), yhe=meta.pop("yhe", None),
         meta={k: v for k, v in meta.items() if k != "input_names"} or None,
+        **inner_kw,
     )
-    pred = design_np(x[vi]) @ coeffs + y_mean
+    pred = np.asarray(jax.device_get(emu.raw(x[vi])), np.float64)
     err = np.abs(pred - y[vi])
     report = {
         "val_max_abs_logT": float(err[:, :-1].max()),
@@ -419,6 +506,11 @@ def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 96,
         "val_max_abs_log_rdrag": float(err[:, -1].max()),
         "n_train": int(ti.size), "n_val": int(vi.size),
     }
+    if inner_bounds is not None:
+        v_in = np.all((x[vi] >= lo_i) & (x[vi] <= hi_i), axis=1)
+        if v_in.any():
+            report["val_inner_max_abs_logT"] = float(err[v_in, :-1].max())
+        report["n_train_inner"] = int(ie.size)
     return emu, report
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.interp import SplineTable, spline_eval
+from ..ops.interp import SplineTable
 from ..ops.legendre import legendre_even
 from .config import EFTConfig
 from .bird import BirdState
@@ -99,11 +99,53 @@ def alperp_alpara(at: dict, da, h, rdrag, hubble):
 
 
 def _project(at: dict, plk, kp, leg_mup, dtype):
-    """Interpolate multipoles to (k', µ), rebuild P(k,µ), re-project (pybird.py:1581-1596)."""
+    """Interpolate multipoles to (k', µ), rebuild P(k,µ), re-project
+    (pybird.py:1581-1596) — algebraically contracted into one small
+    per-evaluation operator.
+
+    Cubic-spline interpolation is linear in the data, so the whole chain
+    spline(k'(k,µ)) → ×L_l(µ') → Σ_µ (trapezoid×Legendre weights) collapses
+    to ``out[a,p,k] = Σ_{l,j} T[a,l,k,j]·plk[l,p,j]`` with T built by
+    contracting the spline's segment one-hot against the µ weights FIRST.
+    The (channels × nk·nmu) interpolants of the naive order (the reference's
+    per-array interp1d loop) never materialize: per walker the largest
+    intermediate drops from ~(P·nk·nmu) to (nk·nmu·n) — independent of the
+    channel count — and the per-channel work is one (nl·n → nl·nk) matmul.
+    Exact same not-a-knot spline + trapezoid math as ops/interp.spline_eval.
+    """
+    table = at["spline"]
+    x = jnp.asarray(table.x, dtype)
+    h = jnp.asarray(table.h, dtype)
+    m2 = jnp.asarray(table.m2, dtype)
+    n = table.x.size
     nk, nmu = kp.shape
-    pk = spline_eval(at["spline"], plk, kp.reshape(-1)).reshape(plk.shape[:-1] + (nk, nmu))
-    pkmu = jnp.einsum("lpkm,lm->pkm", pk, leg_mup)
-    return jnp.einsum("pkm,lm->lpk", pkmu, jnp.asarray(at["proj"], dtype))
+
+    # containing segment (identical to spline_eval: clip to [0, n-2])
+    ge = (kp[..., None] >= x[1 : n - 1]).astype(jnp.int32)
+    idx = jnp.sum(ge, axis=-1)                               # (nk, nmu)
+    oh = (idx[..., None] == jnp.arange(n - 1)).astype(dtype)  # (nk, nmu, n-1)
+    x0 = oh @ x[: n - 1]
+    hi = oh @ h
+    t = (kp - x0) / hi
+    u = 1.0 - t
+    h26 = hi * hi / 6.0
+
+    pad_r = [(0, 0), (0, 0), (0, 1)]
+    pad_l = [(0, 0), (0, 0), (1, 0)]
+
+    def seg_weights(c0, c1):
+        # W[k,m,i] = c0·[idx=i] + c1·[idx+1=i], shape (nk, nmu, n)
+        return (jnp.pad(c0[..., None] * oh, pad_r)
+                + jnp.pad(c1[..., None] * oh, pad_l))
+
+    wy = seg_weights(u, t)
+    wm = seg_weights(h26 * (u * u * u - u), h26 * (t * t * t - t))
+
+    a_w = jnp.asarray(at["proj"], dtype)[:, None, :] * leg_mup[None, :, :]
+    ty = jnp.einsum("alm,kmi->alki", a_w, wy)
+    tm = jnp.einsum("alm,kmi->alki", a_w, wm)
+    t_op = ty + jnp.einsum("alki,ij->alkj", tm, m2)
+    return jnp.einsum("alkj,lpj->apk", t_op, plk)
 
 
 def ap_transform(at: dict, cfg: EFTConfig, bird: BirdState, qperp, qpar) -> BirdState:

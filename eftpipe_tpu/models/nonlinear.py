@@ -85,26 +85,34 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
 
     # Hermitian fold: the quadratic-form matrices act on the 2·nc+1
     # independent REAL dofs of the rfft coefficients (pallas_kernels.py) —
-    # one real matmul per bl at evaluation time instead of four
-    from ..ops.pallas_kernels import herm_fold
+    # one real matmul per bl at evaluation time instead of four.  The
+    # spectral window (0.2 taper, pybird fftsettings) sends the ±Nyquist
+    # coefficients to EXACTLY zero, so those two dofs are dropped: the
+    # contraction runs on 255 ≤ 2×128 dofs instead of 257, which cuts the
+    # MXU lane padding of the dominant matmuls from 384 to 256 lanes.
+    from ..ops.pallas_kernels import herm_fold, trim_nyquist
 
     n1 = pw.size
     nl = len(ells)
-    m22_fold = herm_fold(m22)
+    nc = n1 // 2
+    m22_fold = trim_nyquist(herm_fold(m22), nc)
     mcf_all = np.concatenate([
         mcf22.reshape(mcf22.shape[0] * nl, n1, n1),
         mcf13.reshape(mcf13.shape[0] * nl, n1, n1),
     ])
-    mcf_fold = herm_fold(mcf_all)
+    mcf_fold = trim_nyquist(herm_fold(mcf_all), nc)
+    # the trim is exact only because the tapered DFT zeroes c_{±N/2}
+    for plan in {id(plan_pk): plan_pk, id(plan_cf): plan_cf}.values():
+        assert not plan.gre[:, 0].any() and not plan.gre[:, -1].any()
+        assert not plan.gim[:, 0].any() and not plan.gim[:, -1].any()
 
     def c(x):
         return cplx.split(x)
 
-    nc = n1 // 2
-
     def half(x):
+        # n ∈ [nc, 2nc) — the Nyquist row (exactly-zero coefficient) dropped
         r, i = cplx.split(x)
-        return r[nc:], i[nc:]
+        return r[nc:-1], i[nc:-1]
 
     return dict(
         plan_pk=plan_pk,

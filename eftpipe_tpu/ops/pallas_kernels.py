@@ -239,15 +239,28 @@ def herm_fold(m: np.ndarray) -> np.ndarray:
 def herm_w(coef, pw_half, nc: int):
     """Per-eval w(s) from split coefficients and the HALF power table.
 
-    coef: (cre, cim) each (..., N); pw_half: (pr, pi) each (nc+1, S) —
-    the n ≥ nc slice of the k/s-power factors.  Returns (..., N, S) real.
+    coef: (cre, cim) each (..., N); pw_half: (pr, pi) each (nh, S) —
+    the n ≥ nc slice of the k/s-power factors.  With nh = nc+1 this is the
+    full 2·nc+1-dof parametrization; with nh = nc the exactly-zero Nyquist
+    pair (the spectral window sends c_{±N/2} to exactly 0) is dropped and w
+    has 2·nc−1 dofs — the matching fold matrices must be trimmed with
+    :func:`trim_nyquist` (MXU lane padding: 257→384 vs 255→256).
+    Returns (..., 2·nh−1, S) real.
     """
-    cr = coef[0][..., nc:, None]
-    ci = coef[1][..., nc:, None]
     pr, pi = pw_half
+    nh = pr.shape[-2]
+    cr = coef[0][..., nc : nc + nh, None]
+    ci = coef[1][..., nc : nc + nh, None]
     zr = cr * pr - ci * pi
     zi = cr * pi + ci * pr
     return jnp.concatenate([zr, zi[..., 1:, :]], axis=-2)
+
+
+def trim_nyquist(m_fold: np.ndarray, nc: int) -> np.ndarray:
+    """Host: drop the two exactly-zero Nyquist dofs (Re index nc, Im index
+    2·nc) from a herm-folded (..., 2nc+1, 2nc+1) quadratic-form matrix."""
+    keep = np.delete(np.arange(2 * nc + 1), [nc, 2 * nc])
+    return np.ascontiguousarray(m_fold[..., keep[:, None], keep[None, :]])
 
 
 def qf_real_xla(w, m):

@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--ncomp", type=int, default=96)
     ap.add_argument("--degree", type=int, default=6)
+    ap.add_argument("--degree-in", type=int, default=7,
+                    help="degree of the blended inner-box ridge")
     ap.add_argument("--train-only", action="store_true",
                     help="skip generation, fit on existing samples")
     args = ap.parse_args()
@@ -168,6 +170,7 @@ def main():
     emu, report = train_pk_emulator(
         np.asarray(xs), np.asarray(ys), kgrid, zgrid,
         ncomp=args.ncomp, degree=args.degree,
+        inner_bounds=(lo_i, hi_i), degree_in=args.degree_in,
         meta=dict(
             bounds_lo=lo, bounds_hi=hi, input_names=names,
             m_ncdm=NEUTRINO["m_ncdm"], deg_ncdm=NEUTRINO["deg_ncdm"],
