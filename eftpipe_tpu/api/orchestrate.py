@@ -63,6 +63,7 @@ import copy
 import logging
 import time as _time
 import numpy as np
+import jax
 import jax.numpy as jnp
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -314,23 +315,34 @@ def _validate_emulator_boxes(providers, space, log) -> None:
         if key in checked:
             continue
         checked.add(key)
+        deg = float(getattr(emu, "deg_ncdm", None) or 1.0)
         for i, name in enumerate(names):
-            if name in space.fixed:
-                v = space.fixed[name]
+            # 4-input artifacts sample the PER-SPECIES mass; a config may
+            # instead fix/sample the total Σm_ν as "mnu" — check that axis
+            # against the box rescaled by deg_ncdm
+            pname, scale = name, 1.0
+            if (name == "m_ncdm" and name not in space.fixed
+                    and name not in space.priors
+                    and ("mnu" in space.fixed or "mnu" in space.priors)):
+                pname, scale = "mnu", 1.0 / deg
+            if pname in space.fixed:
+                v = space.fixed[pname] * scale
                 if not (lo[i] <= v <= hi[i]):
                     raise ValueError(
-                        f"fixed {name}={v} lies outside the emulator training"
+                        f"fixed {pname}={space.fixed[pname]} ({name}={v}) "
+                        f"lies outside the emulator training"
                         f" box [{lo[i]}, {hi[i]}] (tracer {tracer}): every"
                         f" evaluation would be rejected — retrain the"
                         f" artifact or fix the config"
                     )
-            elif name in space.priors:
-                spec = space.priors[name]
+            elif pname in space.priors:
+                spec = space.priors[pname]
                 if spec.get("dist", "uniform") == "norm":
                     plo = spec["loc"] - 5.0 * spec["scale"]
                     phi = spec["loc"] + 5.0 * spec["scale"]
                 else:
                     plo, phi = spec["min"], spec["max"]
+                plo, phi = plo * scale, phi * scale
                 if phi < lo[i] or plo > hi[i]:
                     raise ValueError(
                         f"prior of {name} ([{plo}, {phi}]) lies entirely"
@@ -415,6 +427,19 @@ class ParamSpace:
 
     def theta0(self) -> np.ndarray:
         return np.array([self.refs[p] for p in self.sampled])
+
+    def bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        """(lo, hi) support of the sampled parameters (±inf for norm)."""
+        lo, hi = [], []
+        for p in self.sampled:
+            spec = self.priors[p]
+            if spec.get("dist", "uniform") == "norm":
+                lo.append(-np.inf)
+                hi.append(np.inf)
+            else:
+                lo.append(float(spec["min"]))
+                hi.append(float(spec["max"]))
+        return np.asarray(lo), np.asarray(hi)
 
     def to_dict(self, theta) -> dict:
         out = dict(self.fixed)
@@ -781,6 +806,42 @@ class Analysis:
             a=a, chunk_size=chunk_size,
         )
 
+    def laplace_cov(self, theta=None, jitter: float = 1e-12):
+        """Gaussian (Laplace) posterior approximation at ``theta`` (default:
+        the reference point): Σ = (−∇²logp)⁻¹, eigenvalue-floored to be PD.
+
+        The reference workflow seeds Cobaya's proposal with a covmat file
+        (the `covmat:` entry of the DR16 yamls); here the covariance comes
+        from one on-device Hessian of the jitted posterior instead."""
+        theta = self.space.theta0() if theta is None else theta
+        theta = jnp.asarray(theta, self.dtype)
+        h = jax.jit(jax.hessian(self.logp))(theta)
+        h = np.asarray(h, np.float64)
+        h = 0.5 * (h + h.T)
+        evals, evecs = np.linalg.eigh(h)
+        # -logp curvature must be positive; floor tiny/negative directions
+        # at the scale of the largest so Σ stays finite and PD
+        curv = np.maximum(-evals, jitter * np.max(np.abs(evals)))
+        return (evecs / curv) @ evecs.T
+
+    def init_walkers(self, nwalkers: int, key=0, scale: float = 1.0):
+        """Scatter walkers ~ N(theta0, scale²·Σ_laplace), clipped into the
+        prior support.  Starting the ensemble at posterior width removes the
+        slow expansion burn-in of a point-ball start (the stretch move grows
+        a tiny ball by small factors per step — hundreds of steps in 12D)."""
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        theta0 = np.asarray(self.space.theta0(), np.float64)
+        cov = self.laplace_cov()
+        l = np.linalg.cholesky(cov + 1e-30 * np.eye(len(theta0)))
+        z = np.asarray(jax.random.normal(key, (nwalkers, theta0.size)))
+        x = theta0[None, :] + scale * z @ l.T
+        lo, hi = self.space.bounds()
+        span = np.where(np.isfinite(hi - lo), hi - lo, 1.0)
+        x = np.clip(x, np.where(np.isfinite(lo), lo + 1e-6 * span, -np.inf),
+                    np.where(np.isfinite(hi), hi - 1e-6 * span, np.inf))
+        return jnp.asarray(x, self.dtype)
+
     def run_mcmc(
         self,
         nwalkers: int = 256,
@@ -789,9 +850,15 @@ class Analysis:
         max_steps: int = 10_000,
         key: int = 0,
         with_derived: bool = True,
+        init: str = "ball",
         **driver_kwargs,
     ):
-        """Blocked ensemble MCMC with checkpoint/resume (parallel/mcmc.py)."""
+        """Blocked ensemble MCMC with checkpoint/resume (parallel/mcmc.py).
+
+        ``init="laplace"`` scatters the initial ensemble with the inverse-
+        Hessian covariance at the reference point (:meth:`init_walkers`) —
+        the on-device analogue of the reference's Cobaya ``covmat:`` seeding;
+        ``"ball"`` is the legacy tight-ball start."""
         from ..parallel.mcmc import MCMCDriver
 
         driver = MCMCDriver(
@@ -801,4 +868,10 @@ class Analysis:
             derived_fn=self.derived if with_derived else None,
             **driver_kwargs,
         )
-        return driver.run(key=key, x0=self.space.theta0(), max_steps=max_steps)
+        if init == "laplace":
+            x0 = self.init_walkers(nwalkers, key=key + 1)
+        elif init == "ball":
+            x0 = self.space.theta0()
+        else:
+            raise ValueError(f"unknown init {init!r} (ball | laplace)")
+        return driver.run(key=key, x0=x0, max_steps=max_steps)

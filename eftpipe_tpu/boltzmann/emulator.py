@@ -376,6 +376,7 @@ class PkEmulator:
         for k, v in (self.meta or {}).items():
             if k not in extra and np.isscalar(v):
                 extra[f"meta_{k}"] = v
+        extra["input_names"] = np.asarray(list(self.input_names))
         np.savez_compressed(
             path, kgrid=self.kgrid, z_grid=self.z_grid,
             coeffs=np.asarray(self.coeffs), y_mean=np.asarray(self.y_mean),
@@ -397,6 +398,9 @@ class PkEmulator:
                 coeffs=np.asarray(z["coeffs"]), y_mean=np.asarray(z["y_mean"]),
                 x_mean=np.asarray(z["x_mean"]), x_std=np.asarray(z["x_std"]),
                 degree=int(z["degree"]), kgrid=z["kgrid"], z_grid=z["z_grid"],
+                input_names=(tuple(str(s) for s in z["input_names"])
+                             if "input_names" in z.files
+                             else ("omega_b", "omega_cdm", "h")),
                 bounds_lo=z["bounds_lo"] if "bounds_lo" in z.files else None,
                 bounds_hi=z["bounds_hi"] if "bounds_hi" in z.files else None,
                 m_ncdm=opt("m_ncdm"), deg_ncdm=opt("deg_ncdm"),
@@ -491,6 +495,8 @@ def train_pk_emulator(x, y, kgrid, z_grid, ncomp: int = 96,
     emu = PkEmulator(
         coeffs=coeffs, y_mean=y_mean, x_mean=x_mean, x_std=x_std,
         degree=degree, kgrid=np.asarray(kgrid), z_grid=np.asarray(z_grid),
+        input_names=tuple(meta.get("input_names",
+                                   ("omega_b", "omega_cdm", "h"))),
         bounds_lo=meta.pop("bounds_lo", None),
         bounds_hi=meta.pop("bounds_hi", None),
         m_ncdm=meta.pop("m_ncdm", None), deg_ncdm=meta.pop("deg_ncdm", None),
@@ -525,9 +531,12 @@ class SolverEmulatorProvider:
     sigma8 derived from the emulated spectra on the z grid.
 
     Sampled parameters: omega_b, omega_cdm, h, ln10As, ns (As/ns enter
-    analytically through the primordial spectrum).  Microseconds per
-    evaluation, vmappable — the CLASS-speed bottleneck of the reference
-    (classynu.yaml 'speed: 0.2') is gone.
+    analytically through the primordial spectrum), plus m_ncdm (or the
+    total mnu) when the artifact was trained with the neutrino mass as a
+    4th input (tools/train_solver_emulator.py --sample-mnu) — matching the
+    reference classynu's run-time Σm_ν flexibility (classy.py:12-92).
+    Microseconds per evaluation, vmappable — the CLASS-speed bottleneck of
+    the reference (classynu.yaml 'speed: 0.2') is gone.
 
     Validity: the artifact is exact only inside its training box.  Inputs
     are clamped to the box for numerical evaluation, and
@@ -548,6 +557,9 @@ class SolverEmulatorProvider:
     rdrag_fid: float | None = None
     h0_fid: float | None = None
     out_of_box: str = "reject"     # "reject" (logp=-inf) | "clamp" (legacy)
+    # per-species neutrino mass fed to an artifact whose "m_ncdm" input is
+    # NOT sampled (set by load(mnu=...) for 4-input artifacts)
+    mnu_fixed: float | None = None
 
     @classmethod
     def load(cls, cfg: EFTConfig, zeff: float, path=None, mnu=None,
@@ -561,10 +573,29 @@ class SolverEmulatorProvider:
 
         path = path or DEFAULT_PK_ARTIFACT
         emu = PkEmulator.load(path)
+        sampled_mnu = "m_ncdm" in emu.input_names
         requested = {"mnu": mnu, "n_ur": n_ur, "yhe": yhe}
         stored = {"mnu": emu.mnu_total(), "n_ur": emu.n_ur, "yhe": emu.yhe}
         for name, want in requested.items():
             if want is None:
+                continue
+            if name == "mnu" and sampled_mnu:
+                # 4-input artifact: m_ncdm is an emulator DIMENSION — any
+                # Σm_ν inside the trained mass range is valid.  The fixed
+                # request becomes the per-species input value.
+                deg = float(emu.deg_ncdm or 1.0)
+                m_per = float(want) / deg
+                lo, hi = emu.box()
+                i = emu.input_names.index("m_ncdm")
+                if not (lo[i] <= m_per <= hi[i]):
+                    raise MetaInfoError(
+                        f"config requests mnu={want} (m_ncdm={m_per:.4g}/"
+                        f"species) but artifact {path} covers m_ncdm in "
+                        f"[{lo[i]:.4g}, {hi[i]:.4g}] — retrain with a wider "
+                        f"mass range (tools/train_solver_emulator.py "
+                        f"--sample-mnu)"
+                    )
+                kwargs.setdefault("mnu_fixed", m_per)
                 continue
             have = stored[name]
             if have is None:
@@ -582,12 +613,27 @@ class SolverEmulatorProvider:
         return cls(cfg=cfg, zeff=zeff, emulator=emu, **kwargs)
 
     # -- validity ------------------------------------------------------------
+    def _input_value(self, name, params):
+        """Resolve one emulator input from the sampled parameter dict.
+        ``m_ncdm`` (per-species ν mass, 4-input artifacts) may come from a
+        sampled ``m_ncdm``, a sampled total ``mnu`` (÷ deg_ncdm), or the
+        fixed value recorded at load time (``load(mnu=...)``)."""
+        if name in params:
+            return jnp.asarray(params[name], jnp.result_type(float))
+        if name == "m_ncdm":
+            deg = float(self.emulator.deg_ncdm or 1.0)
+            if "mnu" in params:
+                return jnp.asarray(params["mnu"], jnp.result_type(float)) / deg
+            if self.mnu_fixed is not None:
+                return jnp.asarray(self.mnu_fixed, jnp.result_type(float))
+        raise KeyError(
+            f"emulator input {name!r} is neither sampled nor fixed — sample "
+            f"it, or fix it via SolverEmulatorProvider.load(mnu=...)"
+        )
+
     def _x(self, params):
-        return jnp.stack([
-            jnp.asarray(params["omega_b"], jnp.result_type(float)),
-            jnp.asarray(params["omega_cdm"], jnp.result_type(float)),
-            jnp.asarray(params["h"], jnp.result_type(float)),
-        ])
+        return jnp.stack([self._input_value(n, params)
+                          for n in self.emulator.input_names])
 
     def in_box(self, params):
         """True where (ω_b, ω_cdm, h) lie inside the training box."""
@@ -647,9 +693,15 @@ class SolverEmulatorProvider:
         from .eh98 import _GL_X, _GL_W
 
         emu = self.emulator
-        # legacy artifacts without metadata: production values (mnu=0.06,
-        # the classynu degenerate convention N_ur=0.00641)
-        mnu = emu.mnu_total() if emu.mnu_total() is not None else 0.06
+        if "m_ncdm" in emu.input_names:
+            # 4-input artifact: Σm_ν tracks the sampled/fixed mass input so
+            # spectrum and AP background stay consistent at every proposal
+            mnu = self._input_value("m_ncdm", params) * float(
+                emu.deg_ncdm or 1.0)
+        else:
+            # legacy artifacts without metadata: production values (mnu=0.06,
+            # the classynu degenerate convention N_ur=0.00641)
+            mnu = emu.mnu_total() if emu.mnu_total() is not None else 0.06
         n_ur = emu.n_ur if emu.n_ur is not None else 0.00641
         h2 = params["h"] ** 2
         om_g = 2.47282e-5 / h2 * (1.0 + 0.2271 * n_ur)

@@ -7,17 +7,22 @@ reference pybird.py:1103-1125):
     C[b, l, s] = Re( Σ_{n,m} z_n(s) z_m(s) M[b, l, n, m] )
 
 with z a walker-dependent complex (N, S) tensor and M a constant complex
-(B, L, N, N) tensor (N = NFFT+1 = 257, S = 80, B·L ≈ 60-120).  The XLA path
-materialises the intermediate V[b, l, n, s] = Σ_m M z in HBM (~14 MB per
-walker per tracer, written + read back).  This kernel fuses the two
-contractions: each (bl-tile, walker) grid step computes the four real
-matmuls on the MXU and reduces over n in VMEM, so V never touches HBM.
-The bl-tile is the outer grid dimension, so the M tile is DMA'd once and
-reused across the whole walker batch.
+(B, L, N, N) tensor (N = NFFT+1 = 257, S = 80, B·L ≈ 60-120).
 
-Use :func:`cf_contract` (auto-dispatches: Pallas on TPU when
-``EFTPIPE_TPU_PALLAS`` is not "0", XLA einsum otherwise/CPU) —
-``bench_cf_kernel.py`` measures both on real hardware.
+Since the Hermitian fold (below) the PRODUCTION path is the real quadratic
+form ``quad_form_real`` on 255 real dofs.  Its XLA lowering still
+materialises the intermediate V[b, l, n, s] = Σ_m M̃ w in HBM (~75 MB per
+8-walker group for the CF stage, written + read back); on TPU the fused
+:func:`qf_real_pallas` kernel keeps V in VMEM: each (bl-tile,
+walker-group) grid step computes the (N, N) @ (N, g·S) dot on the MXU and
+reduces over n on the VPU.  The bl-tile rides the outer grid dimension, so
+the M̃ tile is DMA'd once and reused across the whole walker batch, and the
+walker grouping (g·S = 640 lanes) keeps the MXU lane dimension full.
+Dispatch: Pallas on TPU when ``EFTPIPE_TPU_PALLAS`` is not "0", XLA einsum
+otherwise/CPU.
+
+The complex-form kernels (:func:`cf_contract_pallas`, :func:`quad_form`)
+are retained for A/B reference against the folded path.
 """
 
 from __future__ import annotations
@@ -269,8 +274,79 @@ def qf_real_xla(w, m):
     return jnp.einsum("...ns,...bns->...bs", w, v)
 
 
-def qf_real_grouped(w, m, group: int = 8):
-    """Walker-grouped real contraction (see cf_contract_grouped)."""
+def _qf_real_kernel(mhi_ref, mlo_ref, w_ref, out_ref):
+    """Fused wᵀ M w for one (bl-tile, walker-group) grid step: the V = M w
+    intermediate lives only in VMEM (the XLA path writes it to HBM —
+    ~75 MB per 8-walker group for the CF stage — and reads it back).
+
+    Precision: Mosaic supports only DEFAULT/HIGHEST dots (the ambient
+    jax_default_matmul_precision=high raises NotImplementedError), and
+    HIGHEST (bf16x6) costs 2x the MXU passes of the XLA path's bf16x3 —
+    measured 0.92x vs XLA.  So the 3-pass split is done explicitly: with
+    a = a_hi + a_lo (bf16 round + bf16 residual),
+    a·b ≈ a_hi·b_hi + a_hi·b_lo + a_lo·b_hi — the same passes XLA's 'high'
+    runs, f32-accumulated on the MXU.  The M̃ split arrives precomputed
+    (constants); splitting the (tile, N, N) tile in-kernel per walker group
+    was measured to eat the fusion win (1.12x → see bench_qf_kernel.py).
+    """
+    t = mhi_ref.shape[0]
+    w = w_ref[0]
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # static unroll over the bl tile: (N, N) @ (N, G·S) dots on the MXU with
+    # the n-reduction fused on the VPU; no unaligned in-kernel reshapes.
+    # explicit DEFAULT: bf16 inputs are a single exact MXU pass, and Mosaic
+    # rejects the inherited ambient precision (HIGH)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    for ti in range(t):
+        m_hi = mhi_ref[ti]
+        m_lo = mlo_ref[ti]
+        v = dot(m_hi, w_hi) + dot(m_hi, w_lo) + dot(m_lo, w_hi)
+        out_ref[0, ti] = jnp.sum(w * v, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_bl", "interpret"))
+def qf_real_pallas(wg, m, tile_bl: int = 16, interpret: bool = False):
+    """Fused folded-real contraction: wg (G, N, S·g) grouped walkers,
+    m (BL, N, N) f32 → (G, BL, S·g).  The m tile rides the OUTER grid axis
+    so it is DMA'd once and reused across the whole walker batch; the bf16
+    hi/lo split of m happens here (XLA folds it once — m is constant)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ng, n, gs = wg.shape
+    bl = m.shape[0]
+    blp = _cdiv(bl, tile_bl) * tile_bl
+    if blp != bl:
+        m = jnp.pad(m, [(0, blp - bl), (0, 0), (0, 0)])
+    m_hi = m.astype(jnp.bfloat16)
+    m_lo = (m - m_hi.astype(m.dtype)).astype(jnp.bfloat16)
+    wg = wg.astype(jnp.float32)
+    grid = (blp // tile_bl, ng)
+    m_spec = pl.BlockSpec((tile_bl, n, n), lambda t, gi: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _qf_real_kernel,
+        out_shape=jax.ShapeDtypeStruct((ng, blp, gs), jnp.float32),
+        grid=grid,
+        in_specs=[
+            m_spec, m_spec,
+            pl.BlockSpec((1, n, gs), lambda t, gi: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_bl, gs), lambda t, gi: (gi, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(m_hi, m_lo, wg)
+    return out[:, :bl, :].astype(wg.dtype)
+
+
+def qf_real_grouped(w, m, group: int = 8, use_pallas: bool | None = None):
+    """Walker-grouped real contraction (see cf_contract_grouped).  With
+    ``use_pallas`` (default: :func:`pallas_enabled`) the grouped matmul pair
+    runs as the fused VMEM kernel instead of two XLA einsums."""
     nw, n, s = w.shape
     g = max(1, min(group, nw))
     wp = _cdiv(nw, g) * g
@@ -278,7 +354,9 @@ def qf_real_grouped(w, m, group: int = 8):
         w = jnp.pad(w, [(0, wp - nw), (0, 0), (0, 0)])
     wg = w.reshape(wp // g, g, n, s).transpose(0, 2, 1, 3).reshape(
         wp // g, n, g * s)
-    out = qf_real_xla(wg, m)
+    if use_pallas is None:
+        use_pallas = pallas_enabled()
+    out = qf_real_pallas(wg, m) if use_pallas else qf_real_xla(wg, m)
     bl = m.shape[0]
     out = out.reshape(wp // g, bl, g, s).transpose(0, 2, 1, 3).reshape(
         wp, bl, s)
@@ -324,7 +402,16 @@ def _qf_real_jvp(primals, tangents):
 
 
 def pallas_enabled() -> bool:
-    if os.environ.get("EFTPIPE_TPU_PALLAS", "1") == "0":
+    """Opt-in (EFTPIPE_TPU_PALLAS=1): the fused kernels are only faster at
+    large per-dispatch walker counts.  Measured on a v5e (tools/
+    bench_qf_kernel.py + bench.py, 2026-08): the isolated CF contraction at
+    W=1024 runs 1.7x faster fused (178 vs 105 effective bf16 TFLOP/s — the
+    XLA einsum pair is HBM-bound on the V intermediate), but at the
+    flagship's optimal chunk=128 the kernel LOSES end-to-end (5450 vs 5783
+    evals/s/chip; larger chunks degrade the non-contraction stages more
+    than the fused kernel gains: xla@512 5123, pallas@512 5557, best
+    overall xla@128+batch8192 6189)."""
+    if os.environ.get("EFTPIPE_TPU_PALLAS", "0") == "0":
         return False
     try:
         return jax.default_backend() == "tpu"

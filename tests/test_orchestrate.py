@@ -54,6 +54,10 @@ def test_param_space_priors():
     d = space.to_dict(np.array([0.3, 2.9]))
     assert d["a"] == 0.3 and d["c"] == 42.0
 
+    lo, hi = space.bounds()
+    np.testing.assert_allclose(lo, [0.0, -np.inf])
+    np.testing.assert_allclose(hi, [2.0, np.inf])
+
 
 # ----------------------------------------------------------------------
 @pytest.fixture(scope="module")
@@ -136,6 +140,28 @@ def analysis(tmp_path_factory, template_file):
     cov = np.eye(ndata) * 25.0
     np.savetxt(workdir / "cov.txt", cov)
     return Analysis.from_config(make_config(workdir, template_file))
+
+
+def test_laplace_init(analysis):
+    """Laplace covariance (the Cobaya-covmat analogue) is PD and matched to
+    the posterior scale; init_walkers scatters inside the prior support."""
+    cov = analysis.laplace_cov()
+    n = analysis.space.ndim
+    assert cov.shape == (n, n)
+    evals = np.linalg.eigvalsh(cov)
+    assert np.all(evals > 0)
+    x0 = analysis.init_walkers(64, key=3)
+    assert x0.shape == (64, n)
+    lo, hi = analysis.space.bounds()
+    assert np.all(np.asarray(x0) >= lo[None, :] - 1e-12)
+    assert np.all(np.asarray(x0) <= hi[None, :] + 1e-12)
+    # scatter should be posterior-scale, not the 1e-3 point-ball
+    sig = np.sqrt(np.diag(cov))
+    std = np.asarray(x0).std(axis=0)
+    assert np.all(std > 0.1 * sig)
+    # every walker starts at finite logp
+    lps = np.asarray(jax.jit(jax.vmap(analysis.logp))(x0))
+    assert np.all(np.isfinite(lps))
 
 
 def test_analysis_structure(analysis):

@@ -155,6 +155,93 @@ def test_artifact_metadata_and_validation(emulator, provider):
             SolverEmulatorProvider.load(cfg=cfg, zeff=ZEFF, mnu=0.06)
 
 
+def _synthetic_4d_artifact(tmp_path):
+    """Tiny 4-input artifact (m_ncdm sampled) with smooth synthetic targets
+    — exercises the provider plumbing without any solver runs."""
+    from eftpipe_tpu.boltzmann.emulator import train_pk_emulator
+
+    rng = np.random.default_rng(0)
+    lo = np.array([0.020, 0.09, 0.60, 0.0])
+    hi = np.array([0.024, 0.15, 0.76, 0.10])
+    x = lo + (hi - lo) * rng.random((80, 4))
+    nz, nk = 3, 8
+    kgrid = np.geomspace(1e-3, 1.0, nk)
+    z_grid = np.array([0.0, 0.5, 1.0])
+
+    def targets(row):
+        ob, oc, h, m = row
+        base = -np.log(1.0 + (kgrid / (0.1 * oc / h)) ** 2)
+        fac = 1.0 / (1.0 + z_grid)[:, None]
+        log_tm = base[None, :] * fac * (1.0 - 0.5 * m)
+        log_tcb = log_tm * (1.0 + 0.1 * m)
+        return np.concatenate([log_tm.ravel(), log_tcb.ravel(),
+                               [np.log(147.0 * (0.12 / oc) ** 0.25)]])
+
+    y = np.stack([targets(row) for row in x])
+    emu, _ = train_pk_emulator(
+        x, y, kgrid, z_grid, ncomp=16, degree=3,
+        meta=dict(bounds_lo=lo, bounds_hi=hi,
+                  input_names=["omega_b", "omega_cdm", "h", "m_ncdm"],
+                  deg_ncdm=3.0, n_ur=0.00641, yhe=0.2454),
+    )
+    path = tmp_path / "pk4d.npz"
+    emu.save(path)
+    return path
+
+
+def test_four_input_mnu_artifact(tmp_path):
+    """4-input (m_ν-sampled) artifacts: input_names round-trips, m_ncdm is
+    resolved from sampled m_ncdm / sampled total mnu / a fixed load(mnu=...)
+    request, the AP background tracks the sampled mass, out-of-range fixed
+    masses fail loudly, and the validity box is 4D."""
+    from eftpipe_tpu.models.window import MetaInfoError
+
+    path = _synthetic_4d_artifact(tmp_path)
+    emu = PkEmulator.load(path)
+    assert emu.input_names == ("omega_b", "omega_cdm", "h", "m_ncdm")
+    assert emu.mnu_total() is None          # the mass is a dimension
+    lo, hi = emu.box()
+    assert lo.shape == (4,)
+
+    cfg = EFTConfig(nl=2, no=2)
+    base = dict(omega_b=0.0223, omega_cdm=0.12, h=0.68,
+                ln10As=3.044, ns=0.9649)
+
+    # fixed Σm_ν at load: any mass inside the trained range works ...
+    prov = SolverEmulatorProvider.load(cfg=cfg, zeff=0.5, path=path, mnu=0.15)
+    np.testing.assert_allclose(prov.mnu_fixed, 0.05)
+    ci = prov.inputs(base)
+    assert bool(jnp.isfinite(ci.plin).all())
+    # ... and an out-of-range one fails loudly at build time
+    with pytest.raises(MetaInfoError):
+        SolverEmulatorProvider.load(cfg=cfg, zeff=0.5, path=path, mnu=0.45)
+
+    # sampled per-species mass and sampled total are equivalent
+    prov_s = SolverEmulatorProvider.load(cfg=cfg, zeff=0.5, path=path)
+    a = prov_s.inputs({**base, "m_ncdm": 0.05})
+    b = prov_s.inputs({**base, "mnu": 0.15})
+    np.testing.assert_allclose(np.asarray(a.plin), np.asarray(b.plin))
+    np.testing.assert_allclose(np.asarray(a.plin), np.asarray(ci.plin))
+    # neither sampled nor fixed -> loud KeyError at trace time
+    with pytest.raises(KeyError):
+        prov_s.inputs(base)
+
+    # the AP background tracks the sampled mass (om_m shifts with Σm_ν)
+    e_lo, _ = prov_s._background({**base, "mnu": 0.0})
+    e_hi, _ = prov_s._background({**base, "mnu": 0.3})
+    assert float(e_hi) > float(e_lo)
+
+    # 4D validity box: the mass axis participates in rejection
+    assert bool(prov_s.in_box({**base, "m_ncdm": 0.05}))
+    assert not bool(prov_s.in_box({**base, "m_ncdm": 0.2}))
+    assert float(prov_s.validity_logp({**base, "m_ncdm": 0.2})) == -np.inf
+
+    # vmap over a batch that includes the mass
+    batch = {k: jnp.full((3,), v) for k, v in {**base, "mnu": 0.15}.items()}
+    out = jax.jit(jax.vmap(lambda p: prov_s.inputs(p).plin))(batch)
+    assert out.shape == (3, cfg.kin.size)
+
+
 def test_background_uses_artifact_neutrinos(provider):
     """_background derives Σm_ν/N_ur from artifact metadata (not a
     hardcoded 0.06) and stays consistent with the solver background."""

@@ -81,3 +81,27 @@ def test_pallas_interpret_matches_xla(data):
     a = np.asarray(cf_contract_xla(zr, zi, mr, mi))
     b = np.asarray(cf_contract_pallas(zr, zi, mr, mi, tile_bl=8, interpret=True))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3 * np.abs(a).max())
+
+
+def test_qf_real_pallas_interpret_matches_xla():
+    """The fused folded-real kernel (the production CF/P22 contraction when
+    EFTPIPE_TPU_PALLAS is on) against the XLA einsum pair, including a
+    non-multiple bl (tile padding) and non-128 lane count."""
+    from eftpipe_tpu.ops.pallas_kernels import (
+        qf_real_grouped, qf_real_pallas, qf_real_xla,
+    )
+
+    rng = np.random.default_rng(5)
+    nw, n, s, bl, g = 8, 33, 20, 11, 4
+    w = jnp.asarray(rng.standard_normal((nw, n, s)), jnp.float32)
+    m = jnp.asarray(rng.standard_normal((bl, n, n)), jnp.float32)
+    m = m + jnp.swapaxes(m, -1, -2)
+    wg = jnp.swapaxes(
+        w.reshape(nw // g, g, n, s), 1, 2).reshape(nw // g, n, g * s)
+    a = np.asarray(qf_real_xla(wg, m))
+    b = np.asarray(qf_real_pallas(wg, m, tile_bl=8, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3 * np.abs(a).max())
+    # the grouped wrapper round-trips the walker axis identically either way
+    c = np.asarray(qf_real_grouped(w, m, group=g, use_pallas=False))
+    d = np.asarray(jax.vmap(lambda wi: qf_real_xla(wi, m))(w))
+    np.testing.assert_allclose(c, d, rtol=2e-4, atol=2e-3 * np.abs(d).max())

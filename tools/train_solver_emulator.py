@@ -53,6 +53,13 @@ INNER_BOUNDS = {
     "h": (0.55, 0.80),
 }
 NEUTRINO = dict(m_ncdm=0.02, deg_ncdm=3.0, n_ur=0.00641, yhe=0.2454)
+# --sample-mnu mode: the per-species mass becomes a 4th emulator input
+# (Σm_ν = 3·m_ncdm ∈ [0, 0.3] eV — covers the usual LSS Σm_ν priors;
+# the reference's classynu takes arbitrary Σm_ν at run time,
+# /root/reference/eftpipe/classy.py:12-92 — a trained artifact gets the
+# same flexibility by sampling the mass dimension)
+MNU_BOUNDS = (0.0, 0.10)
+MNU_INNER = (0.01, 0.04)   # dense around the production Σm_ν = 0.06 (0.02/sp)
 SOLVER_KMAX = 1.6
 # z grid uniform in ln a over the survey range, plus z=0 for sigma8(0)
 Z_GRID = np.exp(-np.linspace(np.log(1.0 / 2.05), 0.0, 13))[::-1] - 1.0
@@ -78,6 +85,9 @@ def main():
                     help="degree of the blended inner-box ridge")
     ap.add_argument("--train-only", action="store_true",
                     help="skip generation, fit on existing samples")
+    ap.add_argument("--sample-mnu", action="store_true",
+                    help="add the per-species neutrino mass as a 4th "
+                         "emulator input (artifact: pk_emulator_mnu4d.npz)")
     args = ap.parse_args()
 
     import itertools
@@ -94,25 +104,35 @@ def main():
     wd = Path(args.workdir)
     wd.mkdir(parents=True, exist_ok=True)
 
-    names = list(BOUNDS)
+    bounds = dict(BOUNDS)
+    inner = dict(INNER_BOUNDS)
+    if args.sample_mnu:
+        bounds["m_ncdm"] = MNU_BOUNDS
+        inner["m_ncdm"] = MNU_INNER
+    names = list(bounds)
     n_in = int(round(args.inner_frac * args.n))
     n_out = args.n - n_in
-    lo = np.array([BOUNDS[n][0] for n in names])
-    hi = np.array([BOUNDS[n][1] for n in names])
-    lo_i = np.array([INNER_BOUNDS[n][0] for n in names])
-    hi_i = np.array([INNER_BOUNDS[n][1] for n in names])
+    lo = np.array([bounds[n][0] for n in names])
+    hi = np.array([bounds[n][1] for n in names])
+    lo_i = np.array([inner[n][0] for n in names])
+    hi_i = np.array([inner[n][1] for n in names])
     x = np.concatenate([
         lo + (hi - lo) * sobol(n_out, len(names), seed=7),
         lo_i + (hi_i - lo_i) * sobol(n_in, len(names), seed=11),
     ])
+    if args.sample_mnu:
+        # interleave wide/inner so an interrupted run still fits on a
+        # balanced prefix (the run is resumable but may be trained early)
+        x = x[np.random.default_rng(3).permutation(len(x))]
     np.save(wd / "x.npy", x)
 
-    def make_par(ob, oc, h):
+    def make_par(ob, oc, h, m_ncdm=None):
         return CosmoParams(
             omega_b=jnp.asarray(ob), omega_cdm=jnp.asarray(oc),
             h=jnp.asarray(h),
             ln10As=jnp.asarray(3.044), ns=jnp.asarray(0.9649),
-            m_ncdm=jnp.asarray(NEUTRINO["m_ncdm"]),
+            m_ncdm=jnp.asarray(NEUTRINO["m_ncdm"] if m_ncdm is None
+                               else m_ncdm),
             n_ur=jnp.asarray(NEUTRINO["n_ur"]),
             yhe=jnp.asarray(NEUTRINO["yhe"]),
             deg_ncdm=NEUTRINO["deg_ncdm"],
@@ -123,7 +143,7 @@ def main():
 
     if not args.train_only:
         corners = [make_par(*c) for c in
-                   itertools.product(*(BOUNDS[n] for n in names))]
+                   itertools.product(*(bounds[n] for n in names))]
         solver = EBSolver(z_out=z_grid.tolist(), kmax=SOLVER_KMAX,
                           growth_stencil=False, envelope=corners)
         kgrid = solver.k_mpc
@@ -173,16 +193,20 @@ def main():
         inner_bounds=(lo_i, hi_i), degree_in=args.degree_in,
         meta=dict(
             bounds_lo=lo, bounds_hi=hi, input_names=names,
-            m_ncdm=NEUTRINO["m_ncdm"], deg_ncdm=NEUTRINO["deg_ncdm"],
+            # sampled-mnu artifacts record no fixed mass: m_ncdm is an input
+            **({} if args.sample_mnu else {"m_ncdm": NEUTRINO["m_ncdm"]}),
+            deg_ncdm=NEUTRINO["deg_ncdm"],
             n_ur=NEUTRINO["n_ur"], yhe=NEUTRINO["yhe"],
             kmax=SOLVER_KMAX, n_train=len(ys),
         ),
     )
     print("validation:", report)
 
+    default_name = ("pk_emulator_mnu4d.npz" if args.sample_mnu
+                    else "pk_emulator_mnu06.npz")
     out = Path(args.out) if args.out else (
         Path(__file__).resolve().parent.parent
-        / "eftpipe_tpu/boltzmann/artifacts/pk_emulator_mnu06.npz"
+        / f"eftpipe_tpu/boltzmann/artifacts/{default_name}"
     )
     out.parent.mkdir(parents=True, exist_ok=True)
     emu.save(out)
