@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
+from pathlib import Path
 
 from eftpipe_tpu.boltzmann.emulator import (
     PkEmulator, SolverEmulatorProvider, DEFAULT_PK_ARTIFACT,
@@ -240,6 +241,53 @@ def test_four_input_mnu_artifact(tmp_path):
     batch = {k: jnp.full((3,), v) for k, v in {**base, "mnu": 0.15}.items()}
     out = jax.jit(jax.vmap(lambda p: prov_s.inputs(p).plin))(batch)
     assert out.shape == (3, cfg.kin.size)
+
+
+MNU4D_ARTIFACT = DEFAULT_PK_ARTIFACT.parent / "pk_emulator_mnu4d.npz"
+GOLDEN_4D = (Path(__file__).parent / "goldens"
+             / "solver_sample_4d_heldout.npz")
+
+
+@pytest.mark.skipif(not MNU4D_ARTIFACT.exists(),
+                    reason="4-input artifact missing")
+def test_mnu4d_artifact_heldout_parity():
+    """The SHIPPED 4-input artifact against a committed HELD-OUT solver
+    sample (never in its training set; inner-box point near the ω_b/ω_cdm
+    edges — the conservative case).  Training-time validation on the full
+    439-solve set: inner max |Δlog T| 2.6e-3, log r_drag 1.1e-4."""
+    emu = PkEmulator.load(MNU4D_ARTIFACT)
+    assert emu.input_names == ("omega_b", "omega_cdm", "h", "m_ncdm")
+    g = np.load(GOLDEN_4D)
+    np.testing.assert_allclose(emu.kgrid, g["kgrid"])
+    tm, tcb, log_rd = emu.unpack(np.asarray(emu.raw(jnp.asarray(g["x"]))))
+    assert np.abs(np.asarray(tm) - g["log_tm"]).max() < 1e-2
+    assert np.abs(np.asarray(tcb) - g["log_tcb"]).max() < 1e-2
+    np.testing.assert_allclose(float(log_rd), float(g["log_rdrag"]),
+                               atol=1e-3)
+    # provider end-to-end at the golden's sampled mass, with zeff pinned to
+    # a z-grid node so the provider's ln-a interpolation is exact there
+    iz = 3
+    zeff = float(g["zgrid"][iz])
+    cfg = EFTConfig(nl=2, no=2)
+    prov = SolverEmulatorProvider.load(cfg=cfg, zeff=zeff,
+                                       path=MNU4D_ARTIFACT)
+    params = dict(omega_b=float(g["x"][0]), omega_cdm=float(g["x"][1]),
+                  h=float(g["x"][2]), m_ncdm=float(g["x"][3]),
+                  ln10As=3.044, ns=0.9649)
+    ci = prov.inputs(params)
+    assert bool(jnp.isfinite(ci.plin).all()) and 0.5 < float(ci.f) < 1.1
+    # P_lin parity on the EFT range against the golden solver spectrum
+    k = g["kgrid"]
+    as_ = 1e-10 * np.exp(3.044)
+    pz = 2 * np.pi**2 / k**3 * as_ * (k / 0.05) ** (0.9649 - 1.0)
+    pk_solver = pz * np.exp(2.0 * g["log_tm"][iz])
+    kin_mpc = np.asarray(cfg.kin) * params["h"]
+    sel = (kin_mpc > 2e-3) & (kin_mpc < 0.5)
+    pk_solver_i = np.exp(np.interp(np.log(kin_mpc[sel]), np.log(k),
+                                   np.log(pk_solver)))
+    rel = np.abs(np.asarray(ci.plin)[sel] * params["h"] ** -3
+                 / pk_solver_i - 1.0)
+    assert rel.max() < 2e-2, f"max P_lin error {rel.max():.3e}"
 
 
 def test_background_uses_artifact_neutrinos(provider):

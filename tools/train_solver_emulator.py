@@ -124,7 +124,26 @@ def main():
         # interleave wide/inner so an interrupted run still fits on a
         # balanced prefix (the run is resumable but may be trained early)
         x = x[np.random.default_rng(3).permutation(len(x))]
-    np.save(wd / "x.npy", x)
+    # the workdir's x.npy is the ONLY source of truth for the sample inputs:
+    # the stored sample_*.npz files are aligned to it by index.  Never
+    # overwrite an existing one — a later invocation with different
+    # n/inner-frac (e.g. a --train-only call relying on defaults) would
+    # silently misalign x and y and poison the fit (caught the hard way:
+    # val rms 0.27 in log T from exactly this).
+    if (wd / "x.npy").exists():
+        x_stored = np.load(wd / "x.npy")
+        if x_stored.shape != x.shape or not np.allclose(x_stored, x):
+            if not args.train_only:
+                raise SystemExit(
+                    f"{wd}/x.npy was generated with different n/inner-frac/"
+                    f"bounds than this invocation — refusing to mix sample "
+                    f"sets (delete the workdir to start fresh)"
+                )
+            print(f"using stored {wd}/x.npy (CLI sampling args ignored in "
+                  f"--train-only mode)")
+        x = x_stored
+    else:
+        np.save(wd / "x.npy", x)
 
     def make_par(ob, oc, h, m_ncdm=None):
         return CosmoParams(
