@@ -636,7 +636,9 @@ class SolverEmulatorProvider:
                           for n in self.emulator.input_names])
 
     def in_box(self, params):
-        """True where (ω_b, ω_cdm, h) lie inside the training box."""
+        """True where every emulator input (all of ``emulator.input_names``
+        — (ω_b, ω_cdm, h) plus m_ncdm for 4-input sampled-mnu artifacts)
+        lies inside the training box."""
         lo, hi = self.emulator.box()
         x = self._x(params)
         return jnp.all((x >= jnp.asarray(lo)) & (x <= jnp.asarray(hi)))

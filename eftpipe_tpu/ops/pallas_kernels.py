@@ -323,6 +323,7 @@ def qf_real_pallas(wg, m, tile_bl: int = 16, interpret: bool = False):
         m = jnp.pad(m, [(0, blp - bl), (0, 0), (0, 0)])
     m_hi = m.astype(jnp.bfloat16)
     m_lo = (m - m_hi.astype(m.dtype)).astype(jnp.bfloat16)
+    dtype_in = wg.dtype  # kernel computes in f32; restore caller dtype (f64 A/B)
     wg = wg.astype(jnp.float32)
     grid = (blp // tile_bl, ng)
     m_spec = pl.BlockSpec((tile_bl, n, n), lambda t, gi: (t, 0, 0),
@@ -340,7 +341,7 @@ def qf_real_pallas(wg, m, tile_bl: int = 16, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(m_hi, m_lo, wg)
-    return out[:, :bl, :].astype(wg.dtype)
+    return out[:, :bl, :].astype(dtype_in)
 
 
 def qf_real_grouped(w, m, group: int = 8, use_pallas: bool | None = None):

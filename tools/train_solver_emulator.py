@@ -23,6 +23,7 @@ Usage:
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -130,20 +131,55 @@ def main():
     # n/inner-frac (e.g. a --train-only call relying on defaults) would
     # silently misalign x and y and poison the fit (caught the hard way:
     # val rms 0.27 in log T from exactly this).
+    # sampling_meta.json travels WITH x.npy: a --train-only invocation whose
+    # CLI flags disagree with the stored samples (e.g. forgetting
+    # --sample-mnu on a 4D workdir) must not stamp the artifact with
+    # bounds/input_names derived from the wrong flags (ADVICE r3).
+    meta_path = wd / "sampling_meta.json"
     if (wd / "x.npy").exists():
         x_stored = np.load(wd / "x.npy")
-        if x_stored.shape != x.shape or not np.allclose(x_stored, x):
-            if not args.train_only:
-                raise SystemExit(
-                    f"{wd}/x.npy was generated with different n/inner-frac/"
-                    f"bounds than this invocation — refusing to mix sample "
-                    f"sets (delete the workdir to start fresh)"
-                )
-            print(f"using stored {wd}/x.npy (CLI sampling args ignored in "
-                  f"--train-only mode)")
+        if meta_path.exists():
+            stored = json.loads(meta_path.read_text())
+            cur = dict(input_names=names,
+                       bounds_lo=[float(v) for v in lo],
+                       bounds_hi=[float(v) for v in hi],
+                       inner_lo=[float(v) for v in lo_i],
+                       inner_hi=[float(v) for v in hi_i])
+            if any(stored[k] != cur[k] for k in cur):
+                if not args.train_only:
+                    raise SystemExit(
+                        f"{meta_path} disagrees with this invocation's "
+                        f"sampling flags — refusing to mix sample sets "
+                        f"(delete the workdir to start fresh)"
+                    )
+                print(f"restoring sampling metadata from {meta_path} "
+                      f"(CLI sampling flags ignored in --train-only mode)")
+                names = list(stored["input_names"])
+                lo = np.asarray(stored["bounds_lo"])
+                hi = np.asarray(stored["bounds_hi"])
+                lo_i = np.asarray(stored["inner_lo"])
+                hi_i = np.asarray(stored["inner_hi"])
+                args.sample_mnu = "m_ncdm" in names
+        elif x_stored.shape != x.shape or not np.allclose(x_stored, x):
+            # legacy workdir without metadata: a shape-compatible silent
+            # mismatch cannot be detected — hard-fail on ANY disagreement
+            raise SystemExit(
+                f"{wd}/x.npy was generated with different n/inner-frac/"
+                f"bounds than this invocation and carries no "
+                f"sampling_meta.json — refusing to guess (delete the "
+                f"workdir or rerun once without --train-only to stamp it)"
+            )
         x = x_stored
     else:
         np.save(wd / "x.npy", x)
+    if not meta_path.exists():
+        meta_path.write_text(json.dumps(dict(
+            input_names=names,
+            bounds_lo=[float(v) for v in lo],
+            bounds_hi=[float(v) for v in hi],
+            inner_lo=[float(v) for v in lo_i],
+            inner_hi=[float(v) for v in hi_i],
+        )))
 
     def make_par(ob, oc, h, m_ncdm=None):
         return CosmoParams(
