@@ -316,6 +316,33 @@ def _validate_emulator_boxes(providers, space, log) -> None:
             continue
         checked.add(key)
         deg = float(getattr(emu, "deg_ncdm", None) or 1.0)
+        if "m_ncdm" not in names:
+            # legacy 3-input artifact: the neutrino mass is baked in, NOT an
+            # emulator dimension — a config that samples it would otherwise
+            # run a chain whose mnu posterior is just the prior while the
+            # spectra stay pinned (ADVICE r3: fail loudly at build time)
+            sampled = [p for p in ("mnu", "m_ncdm") if p in space.priors]
+            if sampled:
+                raise ValueError(
+                    f"config samples {sampled} but the emulator artifact has"
+                    f" no m_ncdm input (input_names={names}, tracer"
+                    f" {tracer}): the sampled mass would never enter the"
+                    f" spectra. Retrain with --sample-mnu (4-input artifact)"
+                    f" or fix the mass."
+                )
+            stored = getattr(emu, "mnu_total", lambda: None)()
+            for p in ("mnu", "m_ncdm"):
+                if p in space.fixed and stored is not None:
+                    want = float(space.fixed[p]) * (1.0 if p == "mnu" else deg)
+                    if abs(want - stored) > 1e-8:
+                        raise ValueError(
+                            f"config fixes {p}={space.fixed[p]} (Σm_ν="
+                            f"{want}) but the 3-input emulator artifact was"
+                            f" trained at Σm_ν={stored} (tracer {tracer}):"
+                            f" the fixed value would be silently ignored."
+                            f" Retrain with --sample-mnu or match the"
+                            f" artifact's mass."
+                        )
         for i, name in enumerate(names):
             # 4-input artifacts sample the PER-SPECIES mass; a config may
             # instead fix/sample the total Σm_ν as "mnu" — check that axis
@@ -497,10 +524,35 @@ class Analysis:
     space: ParamSpace
     dtype: Any = jnp.float64
     likes: dict[str, EFTLikelihood] = field(default_factory=dict)
+    source_info: dict | None = None   # normalized config (paths resolved)
 
     def __post_init__(self):
         if not self.likes and self.like is not None:
             self.likes = {"like": self.like}
+
+    # -- variant rebuilds --------------------------------------------------
+    def rebuilt(self, remove_window: bool = False, zeff: float | None = None,
+                dtype=None) -> "Analysis":
+        """A new Analysis from this one's (already path-resolved) config with
+        the reference ``BestfitModel`` switches applied
+        (/root/reference/eftpipe/analysis.py:778-784): ``remove_window``
+        drops the survey-window convolution from every tracer (unwindowed
+        bestfit theory feeding a synthetic Gaussian covariance), ``zeff``
+        re-evaluates every tracer at an overridden effective redshift.
+        Phase-A operators re-use the same ``cache_dir``."""
+        if self.source_info is None:
+            raise ValueError(
+                "this Analysis was not built via from_config; rebuild "
+                "requires the stored source config")
+        info = copy.deepcopy(self.source_info)
+        for tcfg in info.get("theory", {}).get("tracers", {}).values():
+            if remove_window:
+                tcfg["with_window"] = False
+                tcfg.pop("with_icc", None)   # icc rides the window transform
+            if zeff is not None:
+                tcfg.pop("zeff", None)
+                tcfg["z"] = float(zeff)
+        return Analysis.from_config(info, dtype=dtype or self.dtype)
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -639,6 +691,7 @@ class Analysis:
         return cls(
             configs=configs, pipelines=pipelines, providers=providers,
             bases=bases, like=like, likes=likes, space=space, dtype=dtype,
+            source_info=copy.deepcopy(info),
         )
 
     # -- evaluation -------------------------------------------------------
@@ -813,6 +866,9 @@ class Analysis:
         The reference workflow seeds Cobaya's proposal with a covmat file
         (the `covmat:` entry of the DR16 yamls); here the covariance comes
         from one on-device Hessian of the jitted posterior instead."""
+        cached = theta is None
+        if cached and getattr(self, "_laplace_cov_cache", None) is not None:
+            return self._laplace_cov_cache
         theta = self.space.theta0() if theta is None else theta
         theta = jnp.asarray(theta, self.dtype)
         h = jax.jit(jax.hessian(self.logp))(theta)
@@ -822,7 +878,10 @@ class Analysis:
         # -logp curvature must be positive; floor tiny/negative directions
         # at the scale of the largest so Σ stays finite and PD
         curv = np.maximum(-evals, jitter * np.max(np.abs(evals)))
-        return (evecs / curv) @ evecs.T
+        cov = (evecs / curv) @ evecs.T
+        if cached:
+            self._laplace_cov_cache = cov
+        return cov
 
     def init_walkers(self, nwalkers: int, key=0, scale: float = 1.0):
         """Scatter walkers ~ N(theta0, scale²·Σ_laplace), clipped into the
@@ -851,6 +910,9 @@ class Analysis:
         key: int = 0,
         with_derived: bool = True,
         init: str = "ball",
+        sampler: str = "stretch",
+        mesh=None,
+        resume: bool = True,
         **driver_kwargs,
     ):
         """Blocked ensemble MCMC with checkpoint/resume (parallel/mcmc.py).
@@ -858,14 +920,30 @@ class Analysis:
         ``init="laplace"`` scatters the initial ensemble with the inverse-
         Hessian covariance at the reference point (:meth:`init_walkers`) —
         the on-device analogue of the reference's Cobaya ``covmat:`` seeding;
-        ``"ball"`` is the legacy tight-ball start."""
+        ``"ball"`` is the legacy tight-ball start.
+
+        ``sampler="hmc"`` runs gradient-based HMC chains (parallel/hmc.py)
+        instead of the stretch move — the posterior is differentiable JAX, so
+        ~40-step stretch autocorrelation collapses to a few leapfrog
+        trajectories and production-grade split-R̂ targets (the reference's
+        Cobaya R−1 ≤ 0.0005) become reachable in short chains.  The warmup
+        mass matrix is seeded with the Laplace posterior diagonal
+        automatically when ``init="laplace"``.
+
+        ``mesh`` (a ``jax.sharding.Mesh``) shards the walker/chain axis over
+        devices — the TPU replacement for the reference's MPI
+        process-per-chain parallelism."""
         from ..parallel.mcmc import MCMCDriver
 
+        if sampler == "hmc" and init == "laplace" and \
+                "inv_mass0" not in driver_kwargs:
+            driver_kwargs["inv_mass0"] = np.diag(self.laplace_cov())
         driver = MCMCDriver(
             logp=self.logp, ndim=self.space.ndim, nwalkers=nwalkers,
             rhat_tol=rhat_tol, out=out, param_names=list(self.space.sampled),
             derived_names=self.derived_names() if with_derived else None,
             derived_fn=self.derived if with_derived else None,
+            sampler_kind=sampler, mesh=mesh,
             **driver_kwargs,
         )
         if init == "laplace":
@@ -874,4 +952,4 @@ class Analysis:
             x0 = self.space.theta0()
         else:
             raise ValueError(f"unknown init {init!r} (ball | laplace)")
-        return driver.run(key=key, x0=x0, max_steps=max_steps)
+        return driver.run(key=key, x0=x0, max_steps=max_steps, resume=resume)

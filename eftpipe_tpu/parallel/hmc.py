@@ -65,12 +65,32 @@ class HMC:
     n_leapfrog: int = 16
     target_accept: float = 0.8
     jitter: float = 0.1  # uniform step-size jitter to decorrelate paths
+    mesh: "jax.sharding.Mesh | None" = None
+    mesh_axis: str = "walkers"
 
     def __post_init__(self):
         def lp_and_grad(q):
             return jax.value_and_grad(self.logp)(q)
 
         self._lpg = jax.vmap(lp_and_grad)
+        self._sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(self.mesh, P(self.mesh_axis))
+
+    def _constrain(self, state: HMCState) -> HMCState:
+        """Pin the chain axis to the device mesh (data-parallel chains)."""
+        if self._sharding is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lp_s = NamedSharding(self.mesh, P(self.mesh_axis))
+        return HMCState(
+            q=jax.lax.with_sharding_constraint(state.q, self._sharding),
+            logp=jax.lax.with_sharding_constraint(state.logp, lp_s),
+            grad=jax.lax.with_sharding_constraint(state.grad, self._sharding),
+        )
 
     # -- one transition -----------------------------------------------------
     def _transition(self, key, state: HMCState, eps, inv_mass):
@@ -98,7 +118,7 @@ class HMC:
             logp=jnp.where(accept, logp_new, state.logp),
             grad=jnp.where(accept[:, None], grad_new, state.grad),
         )
-        return new, accept_prob
+        return self._constrain(new), accept_prob
 
     # -- dual averaging -------------------------------------------------------
     def _da_init(self, eps0):
@@ -137,23 +157,36 @@ class HMC:
         return state, jnp.exp(da.log_eps_avg), qs, accs
 
     @partial(jax.jit, static_argnames=("self", "n_warmup"))
-    def warmup(self, key, q0, n_warmup: int = 300, eps0: float = 0.01):
-        """Two-phase warmup (Stan-style windows): dual-averaging at unit
+    def warmup(self, key, q0, n_warmup: int = 300, eps0: float = 0.01,
+               inv_mass0=None):
+        """Two-phase warmup (Stan-style windows): dual-averaging at the seed
         mass, diagonal mass estimation from those draws, then a second
         dual-averaging phase at the adapted mass — the step size must be
-        re-tuned once the metric changes."""
+        re-tuned once the metric changes.
+
+        ``inv_mass0`` seeds the phase-1 metric with a known posterior scale
+        (e.g. the diagonal of a Laplace covariance — the analogue of the
+        reference's Cobaya ``covmat:`` proposal seeding); with a good seed
+        the phase-1 draws already decorrelate and the phase-2 estimate
+        converges in far fewer steps than a unit-metric cold start."""
         q0 = jnp.asarray(q0)
         logp0, grad0 = self._lpg(q0)
-        state = HMCState(q=q0, logp=logp0, grad=grad0)
+        state = self._constrain(HMCState(q=q0, logp=logp0, grad=grad0))
         eps0 = jnp.asarray(eps0, q0.dtype)
         k1, k2 = jax.random.split(key)
         n1 = n_warmup // 2
         n2 = n_warmup - n1
 
-        inv_mass = jnp.ones((self.ndim,), q0.dtype)
+        if inv_mass0 is None:
+            inv_mass = jnp.ones((self.ndim,), q0.dtype)
+        else:
+            inv_mass = jnp.asarray(inv_mass0, q0.dtype)
+        # inv_mass ≡ the position variance in this parametrization; a
+        # variance-scaled metric keeps the leapfrog well-conditioned across
+        # parameters of wildly different scales (b1 ~ 1, omega_cdm ~ 0.01)
         state, eps1, qs, _ = self._da_phase(k1, state, eps0, inv_mass, n1)
         var = jnp.var(qs[n1 // 2:].reshape(-1, self.ndim), axis=0) + 1e-12
-        inv_mass = 1.0 / var
+        inv_mass = jnp.where(jnp.all(jnp.isfinite(var)), var, inv_mass)
         state, eps, _, accs = self._da_phase(k2, state, eps1, inv_mass, n2)
         return state, eps, inv_mass, jnp.mean(accs)
 

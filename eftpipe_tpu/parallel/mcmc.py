@@ -54,6 +54,73 @@ class MCMCResult:
         return self.chain[start:].reshape(-1, self.chain.shape[-1])
 
 
+@dataclass(eq=False)
+class HMCSamplerAdapter:
+    """EnsembleSampler-shaped facade over :class:`eftpipe_tpu.parallel.hmc.HMC`.
+
+    Exposes the driver's sampler contract — ``init(key, center)`` and
+    ``run(key, walkers, nsteps, thin) -> (chain, logps, accept)`` — so the
+    blocked checkpoint/R̂ machinery is sampler-agnostic.  Warmup (dual-
+    averaging step size + diagonal mass adaptation, seeded by ``inv_mass0``
+    when a Laplace posterior scale is known) runs once, lazily, before the
+    first block; the tuned ``(eps, inv_mass)`` ride the driver checkpoint so
+    a resumed run skips re-adaptation."""
+
+    logp: Callable
+    nwalkers: int
+    ndim: int
+    n_leapfrog: int = 16
+    target_accept: float = 0.8
+    warmup_steps: int = 300
+    eps0: float = 0.01
+    inv_mass0: np.ndarray | None = None
+    mesh: Any | None = None
+
+    def __post_init__(self):
+        from .hmc import HMC
+
+        self.hmc = HMC(
+            logp=self.logp, ndim=self.ndim, n_leapfrog=self.n_leapfrog,
+            target_accept=self.target_accept, mesh=self.mesh,
+        )
+        self.eps = None
+        self.inv_mass = None
+
+    def init(self, key, center, scale=1e-3):
+        center = jnp.asarray(center)
+        noise = jax.random.normal(key, (self.nwalkers, self.ndim), center.dtype)
+        return center[None, :] + scale * noise * jnp.maximum(
+            jnp.abs(center), 1.0)[None, :]
+
+    def run(self, key, x0, nsteps: int, thin: int = 1):
+        from .hmc import HMCState
+
+        x0 = jnp.asarray(x0)
+        if self.eps is None:
+            key, k_warm = jax.random.split(key)
+            inv0 = None if self.inv_mass0 is None else jnp.asarray(
+                self.inv_mass0, x0.dtype)
+            state, eps, inv_mass, _ = self.hmc.warmup(
+                k_warm, x0, self.warmup_steps, self.eps0, inv_mass0=inv0)
+            self.eps, self.inv_mass = eps, inv_mass
+            x0 = state.q
+        lp, grad = jax.jit(self.hmc._lpg)(x0)
+        state = HMCState(q=x0, logp=lp, grad=grad)
+        return self.hmc.run(key, state, self.eps, self.inv_mass, nsteps, thin)
+
+    # -- checkpointable adaptation state ------------------------------------
+    def state_arrays(self) -> dict:
+        if self.eps is None:
+            return {}
+        return {"hmc_eps": np.asarray(self.eps),
+                "hmc_inv_mass": np.asarray(self.inv_mass)}
+
+    def restore_state(self, z) -> None:
+        if "hmc_eps" in getattr(z, "files", z):
+            self.eps = jnp.asarray(z["hmc_eps"])
+            self.inv_mass = jnp.asarray(z["hmc_inv_mass"])
+
+
 @dataclass
 class MCMCDriver:
     """Blocked ensemble MCMC with convergence stopping and resume.
@@ -85,19 +152,47 @@ class MCMCDriver:
     derived_names: list[str] | None = None
     derived_fn: Callable | None = None
     min_blocks_before_check: int = 2
+    mesh: Any | None = None          # jax.sharding.Mesh: shard the walker axis
+    sampler_kind: str = "stretch"    # "stretch" | "hmc"
+    # HMC-only knobs (sampler_kind="hmc"); inv_mass0 seeds the warmup metric
+    # with a known posterior scale (the diagonal of a Laplace covariance)
+    n_leapfrog: int = 16
+    target_accept: float = 0.8
+    warmup_steps: int = 300
+    inv_mass0: np.ndarray | None = None
 
     def __post_init__(self):
-        self.sampler = EnsembleSampler(
-            logp=self.logp, nwalkers=self.nwalkers, ndim=self.ndim,
-            a=self.a, chunk_size=self.chunk_size,
-        )
+        if self.sampler_kind == "stretch":
+            self.sampler = EnsembleSampler(
+                logp=self.logp, nwalkers=self.nwalkers, ndim=self.ndim,
+                a=self.a, chunk_size=self.chunk_size, mesh=self.mesh,
+            )
+        elif self.sampler_kind == "hmc":
+            self.sampler = HMCSamplerAdapter(
+                logp=self.logp, nwalkers=self.nwalkers, ndim=self.ndim,
+                n_leapfrog=self.n_leapfrog, target_accept=self.target_accept,
+                warmup_steps=self.warmup_steps, inv_mass0=self.inv_mass0,
+                mesh=self.mesh,
+            )
+        else:
+            raise ValueError(
+                f"unknown sampler_kind {self.sampler_kind!r} (stretch | hmc)")
         self._ckpt = Path(str(self.out) + ".checkpoint.npz") if self.out else None
+
+    def _shard(self, walkers):
+        if self.mesh is None:
+            return walkers
+        from .mesh import shard_walkers
+
+        return shard_walkers(jnp.asarray(walkers), self.mesh)
 
     # -- persistence ------------------------------------------------------
     def _save_state(self, key, walkers, chain_blocks, logp_blocks, nsteps_done):
         if self._ckpt is None:
             return
         self._ckpt.parent.mkdir(parents=True, exist_ok=True)
+        extra = (self.sampler.state_arrays()
+                 if hasattr(self.sampler, "state_arrays") else {})
         _atomic_savez(
             self._ckpt,
             key=np.asarray(key),
@@ -105,12 +200,15 @@ class MCMCDriver:
             chain=np.concatenate(chain_blocks) if chain_blocks else np.zeros((0, self.nwalkers, self.ndim)),
             logps=np.concatenate(logp_blocks) if logp_blocks else np.zeros((0, self.nwalkers)),
             nsteps_done=nsteps_done,
+            **extra,
         )
 
     def _load_state(self):
         if self._ckpt is None or not self._ckpt.exists():
             return None
         with np.load(self._ckpt) as z:
+            if hasattr(self.sampler, "restore_state"):
+                self.sampler.restore_state(z)
             return dict(
                 key=jnp.asarray(z["key"]),
                 walkers=jnp.asarray(z["walkers"]),
@@ -174,6 +272,7 @@ class MCMCDriver:
                 walkers = self.sampler.init(sub, x0)
             else:
                 walkers = x0
+        walkers = self._shard(walkers)
 
         converged = False
         rminus1 = np.full(self.ndim, np.inf)
@@ -187,7 +286,7 @@ class MCMCDriver:
             chain, chain_logp, acc = self.sampler.run(sub, walkers, nsteps, thin=self.thin)
             chain = np.asarray(chain)
             chain_logp = np.asarray(chain_logp)
-            walkers = jnp.asarray(chain[-1])
+            walkers = self._shard(jnp.asarray(chain[-1]))
             chain_blocks.append(chain)
             logp_blocks.append(chain_logp)
             accepts.append(float(acc))

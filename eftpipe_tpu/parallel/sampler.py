@@ -54,18 +54,49 @@ def stretch_step(key, logp_vmapped, walkers, logps, a: float = 2.0):
 
 @dataclass(eq=False)  # identity hash: instances are static args to jit
 class EnsembleSampler:
-    """Vectorised ensemble sampler over a scalar log-posterior ``logp(theta)``."""
+    """Vectorised ensemble sampler over a scalar log-posterior ``logp(theta)``.
+
+    With ``mesh`` set, the walker axis is pinned to the mesh via
+    ``with_sharding_constraint`` inside the scan carry, so the vmapped
+    posterior evaluations run data-parallel over devices and XLA inserts the
+    (tiny) collectives for the cross-half partner gathers — the TPU-native
+    replacement for the reference's MPI process-per-chain
+    (/root/reference/eftpipe/tools.py:24-25)."""
 
     logp: Callable
     nwalkers: int
     ndim: int
     a: float = 2.0
     chunk_size: int | None = None
+    mesh: "jax.sharding.Mesh | None" = None
+    mesh_axis: str = "walkers"
 
     def __post_init__(self):
         if self.nwalkers % 2:
             raise ValueError("nwalkers must be even")
         self._logp_vmapped = chunked_vmap(self.logp, self.chunk_size)
+        self._sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.nwalkers % (2 * self.mesh.devices.size):
+                raise ValueError(
+                    f"nwalkers={self.nwalkers} must be a multiple of twice "
+                    f"the mesh size ({self.mesh.devices.size}) so each "
+                    f"half-ensemble shards evenly"
+                )
+            self._sharding = NamedSharding(self.mesh, P(self.mesh_axis))
+
+    def _constrain(self, walkers, logps):
+        if self._sharding is None:
+            return walkers, logps
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lp_sharding = NamedSharding(self.mesh, P(self.mesh_axis))
+        return (
+            jax.lax.with_sharding_constraint(walkers, self._sharding),
+            jax.lax.with_sharding_constraint(logps, lp_sharding),
+        )
 
     def init(self, key, center, scale=1e-3):
         center = jnp.asarray(center)
@@ -78,11 +109,13 @@ class EnsembleSampler:
 
         chain has shape (nsteps // thin, nwalkers, ndim).
         """
+        x0, _ = self._constrain(x0, jnp.zeros((self.nwalkers,), x0.dtype))
         logps = self._logp_vmapped(x0)
 
         def step(carry, k):
             walkers, lps = carry
             walkers, lps, acc = stretch_step(k, self._logp_vmapped, walkers, lps, self.a)
+            walkers, lps = self._constrain(walkers, lps)
             return (walkers, lps), (walkers, lps, acc.mean())
 
         keys = jax.random.split(key, nsteps)

@@ -209,8 +209,19 @@ def test_production_fidelity_window_build(tmp_path):
     )
 
 
+@pytest.fixture
+def high_precision_matmul():
+    """Keep jax_default_matmul_precision='high' for the WHOLE test body:
+    matmul precision applies at trace time, so every jitted loglike/run_mcmc
+    call below must trace under it (on a TPU backend the default single-pass
+    bf16 gives ~1e-1 logp error and the gates would fail; ADVICE r3)."""
+    jax.config.update("jax_default_matmul_precision", "high")
+    yield
+    jax.config.update("jax_default_matmul_precision", None)
+
+
 @pytest.mark.slow
-def test_production_posterior_recovery_on_mock(tmp_path):
+def test_production_posterior_recovery_on_mock(tmp_path, high_precision_matmul):
     """VERDICT r2 item 1b: prove the POSTERIOR, not just point evaluations.
 
     The converted DR16 production config (NGC block: real survey windows,
@@ -255,16 +266,13 @@ def test_production_posterior_recovery_on_mock(tmp_path):
 
     from eftpipe_tpu.api.orchestrate import Analysis
 
-    # float32 + 'high' matmuls: the production TPU dtype.  The pull gate
-    # below needs ~1e-2 logp fidelity, far inside the 0.05 budget the
-    # accuracy gates enforce for this dtype — and the f64 chain made this
-    # test pathologically slow on one CPU core (~4 h; this is the suite's
-    # long pole at ~10 min now).
-    jax.config.update("jax_default_matmul_precision", "high")
-    try:
-        an = Analysis.from_config(info, dtype=jnp.float32)
-    finally:
-        jax.config.update("jax_default_matmul_precision", None)
+    # float32 + 'high' matmuls: the production TPU dtype (precision override
+    # held for the whole body by the high_precision_matmul fixture).  The
+    # pull gate below needs ~1e-2 logp fidelity, far inside the 0.05 budget
+    # the accuracy gates enforce for this dtype — and the f64 chain made
+    # this test pathologically slow on one CPU core (~4 h; this is the
+    # suite's long pole at ~10 min now).
+    an = Analysis.from_config(info, dtype=jnp.float32)
     lk = an.likes["LEX_NGC"]
 
     # ---- mock data at a known truth --------------------------------------

@@ -29,8 +29,10 @@ def test_hmc_recovers_gaussian_moments():
     np.testing.assert_allclose(flat.mean(0), np.asarray(MEAN),
                                atol=0.15 * float(np.max(SIGMA)))
     np.testing.assert_allclose(flat.std(0), np.asarray(SIGMA), rtol=0.2)
-    # the adapted mass matrix tracks the target variances
-    ratio = info["inv_mass"] * np.asarray(SIGMA) ** 2
+    # the adapted metric tracks the target variances: inv_mass (= M⁻¹, the
+    # Stan "metric") ≈ posterior variance, so leapfrog displacements scale
+    # with each direction's width (Δq ~ eps·sqrt(inv_mass))
+    ratio = info["inv_mass"] / np.asarray(SIGMA) ** 2
     assert np.all(ratio > 0.3) and np.all(ratio < 3.0)
     r = gelman_rubin(chain)
     assert np.max(r - 1.0) < 0.05

@@ -103,3 +103,54 @@ def test_driver_derived_columns(tmp_path):
     np.testing.assert_allclose(cols[:, -1], cols[:, 2] ** 2, rtol=1e-6)
     names = [l.split()[0] for l in open(tmp_path / "d.paramnames")]
     assert names == ["a", "b", "c", "asq*"]
+
+
+def test_driver_hmc_converges_and_checkpoints(tmp_path):
+    """sampler_kind="hmc" drives parallel/hmc.py through the same blocked
+    checkpoint/R̂ machinery; the adapted (eps, inv_mass) ride the checkpoint
+    so a resume skips re-warmup (VERDICT r3 item 4)."""
+    kw = dict(
+        logp=logp, ndim=3, nwalkers=16, rhat_tol=0.02, block=100,
+        out=tmp_path / "h", sampler_kind="hmc", n_leapfrog=8,
+        warmup_steps=100, inv_mass0=np.asarray(SIGMA) ** 2,
+    )
+    driver = MCMCDriver(**kw)
+    res = driver.run(key=3, x0=np.zeros(3), max_steps=600)
+    assert res.converged
+    flat = res.flat(burn_frac=0.5)
+    np.testing.assert_allclose(flat.mean(axis=0), np.asarray(MEAN), atol=0.1)
+    np.testing.assert_allclose(flat.std(axis=0), np.asarray(SIGMA), rtol=0.25)
+    # split-R̂ < 1.01: the production criterion HMC makes reachable in short
+    # chains (the stretch move's ~40-step autocorrelation cannot)
+    assert np.max(res.rminus1) < 0.01
+    # the tuned step size is checkpointed and restored on resume
+    eps = driver.sampler.eps
+    assert eps is not None and float(eps) > 0
+    d2 = MCMCDriver(**kw)
+    d2.run(key=3, x0=np.zeros(3), max_steps=600, resume=True)
+    np.testing.assert_allclose(np.asarray(d2.sampler.eps), np.asarray(eps))
+
+
+def test_driver_mesh_sharded_matches_unsharded(tmp_path):
+    """mesh= shards the walker axis; same keys => identical chains (f64 CPU
+    mesh: the sharded program is the same math, so equality is exact up to
+    reduction order)."""
+    from eftpipe_tpu.parallel.mesh import walker_mesh
+
+    mesh = walker_mesh(jax.devices()[:8])
+    kw = dict(logp=logp, ndim=3, nwalkers=32, rhat_tol=-1.0, block=50)
+    plain = MCMCDriver(**kw).run(key=5, x0=np.zeros(3), max_steps=100)
+    shard = MCMCDriver(**kw, mesh=mesh).run(key=5, x0=np.zeros(3), max_steps=100)
+    np.testing.assert_allclose(shard.chain, plain.chain, atol=1e-12)
+    np.testing.assert_allclose(shard.logps, plain.logps, atol=1e-12)
+
+    # HMC chains shard the same way.  NOT bitwise: the warmup's cross-walker
+    # variance estimate is a cross-device reduction under sharding, so the
+    # summation order differs at round-off and the chaotic leapfrog
+    # amplifies it — observed ~3e-9 max over 80 steps on the f64 mesh.
+    hkw = dict(logp=logp, ndim=3, nwalkers=16, rhat_tol=-1.0, block=40,
+               sampler_kind="hmc", n_leapfrog=6, warmup_steps=40)
+    hp = MCMCDriver(**hkw).run(key=6, x0=np.zeros(3), max_steps=80)
+    hs = MCMCDriver(**hkw, mesh=mesh).run(key=6, x0=np.zeros(3), max_steps=80)
+    np.testing.assert_allclose(hs.chain, hp.chain, atol=1e-6)
+    assert np.all(np.isfinite(hs.logps))

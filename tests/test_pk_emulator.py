@@ -298,3 +298,41 @@ def test_background_uses_artifact_neutrinos(provider):
     assert np.isfinite(float(e)) and np.isfinite(float(da))
     # flat LCDM sanity: E(zeff=0.7) for Planck-ish params ~ 1.4-1.5
     assert 1.3 < float(e) < 1.6
+
+
+def test_legacy_artifact_rejects_sampled_or_mismatched_mnu(provider):
+    """ADVICE r3 (medium): sampling mnu/m_ncdm against a legacy 3-input
+    artifact must fail loudly at BUILD time — the mass never enters the
+    emulator inputs, so the chain would silently sample the prior.  A fixed
+    mass that disagrees with the artifact's baked-in Σm_ν is equally
+    silent and equally rejected; the matching value passes."""
+    import logging
+
+    from eftpipe_tpu.api.orchestrate import ParamSpace, _validate_emulator_boxes
+
+    log = logging.getLogger("test")
+    base = {
+        "omega_b": {"prior": {"min": 0.020, "max": 0.024}, "ref": 0.0224},
+        "omega_cdm": {"prior": {"min": 0.10, "max": 0.14}, "ref": 0.12},
+        "h": {"prior": {"min": 0.60, "max": 0.76}, "ref": 0.68},
+    }
+    providers = {"LRG": provider}
+    stored = provider.emulator.mnu_total()
+    assert stored is not None  # the default artifact bakes Σm_ν = 0.06
+
+    # sampled total mass -> build-time error
+    space = ParamSpace.from_config(
+        {**base, "mnu": {"prior": {"min": 0.0, "max": 0.3}, "ref": 0.06}})
+    with pytest.raises(ValueError, match="no m_ncdm input"):
+        _validate_emulator_boxes(providers, space, log)
+    # sampled per-species mass -> same
+    space = ParamSpace.from_config(
+        {**base, "m_ncdm": {"prior": {"min": 0.0, "max": 0.1}, "ref": 0.02}})
+    with pytest.raises(ValueError, match="no m_ncdm input"):
+        _validate_emulator_boxes(providers, space, log)
+    # fixed mass mismatching the artifact -> error; matching -> fine
+    space = ParamSpace.from_config({**base, "mnu": {"value": 0.15}})
+    with pytest.raises(ValueError, match="trained at"):
+        _validate_emulator_boxes(providers, space, log)
+    space = ParamSpace.from_config({**base, "mnu": {"value": stored}})
+    _validate_emulator_boxes(providers, space, log)
