@@ -136,6 +136,7 @@ def main() -> None:
         pending_outs.clear()
 
     extra = {}
+    cost_probe = None  # (jitted fn, example batch) for the roofline numbers
     if shard:
         from eftpipe_tpu.parallel.mesh import walker_mesh, shard_walkers
 
@@ -153,6 +154,7 @@ def main() -> None:
         ]
         dt = run_timed(logp_plain, shard_batches)
         value = full * iters / dt / n_dev
+        cost_probe = (logp_plain, shard_batches[0], full)
         # perfect scaling: the sharded run of n_dev x per_chip walkers takes
         # the single-device per_chip time.  On a virtual mesh backed by
         # fewer physical cores than devices the ceiling of scaling_eff is
@@ -172,6 +174,7 @@ def main() -> None:
         batches = _make_batches(theta0, batch, iters + 1, dtype, jnp)
         dt = run_timed(logp_batch, batches)
         value = batch * iters / dt / n_dev
+        cost_probe = (logp_batch, batches[0], batch)
 
     if os.environ.get("BENCH_PROFILE", "0") != "0":
         from eftpipe_tpu.utils.profiling import (
@@ -192,6 +195,9 @@ def main() -> None:
 
     check_finite()  # first device→host transfer — after ALL timing
 
+    if cost_probe is not None:
+        extra.update(_roofline(jax, cost_probe, value, n_dev))
+
     if os.environ.get("BENCH_ACCURACY", "1") != "0" and dtype_flag != "float64":
         acc = _run_accuracy_check(model, jax, jnp, dtype)
         extra.update(acc)
@@ -209,6 +215,60 @@ def main() -> None:
         "vs_baseline": round(value / 1.0, 2),
         **extra,
     }))
+
+
+# bf16 MXU peak FLOP/s per chip and HBM bandwidth (bytes/s) by device kind.
+# The f32 'high' path runs matmuls as bf16x3 passes, so the compiler-counted
+# flops ARE executed on the bf16 MXU — achieved/peak_bf16 is the honest MFU.
+_PEAKS = {
+    "v5 lite": (197e12, 819e9), "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9), "v5": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9), "trillium": (918e12, 1640e9),
+}
+
+
+def _device_peaks(jax) -> tuple[float, float] | None:
+    kind = jax.devices()[0].device_kind.lower()
+    if float(os.environ.get("BENCH_PEAK_TFLOPS", "0")) > 0:
+        return (float(os.environ["BENCH_PEAK_TFLOPS"]) * 1e12,
+                float(os.environ.get("BENCH_PEAK_GBS", "819")) * 1e9)
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return None
+
+
+def _roofline(jax, cost_probe, evals_per_sec_chip, n_dev) -> dict:
+    """FLOPs/eval, bytes/eval and achieved-vs-peak from XLA's own cost model
+    of the COMPILED benchmark executable (VERDICT r3 item 2: without this,
+    round-over-round perf pushes are unfalsifiable).  ``flops`` here is what
+    the compiled HLO executes (post-fusion, incl. the bf16x3 triple-pass of
+    'high'-precision f32 matmuls), not an algorithmic count."""
+    fn, example, batch = cost_probe
+    try:
+        compiled = fn.lower(example).compile()  # cache hit: already compiled
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older JAX: one dict per module
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+    except Exception as exc:  # pragma: no cover — backend-dependent
+        return {"roofline": f"unavailable ({type(exc).__name__})"}
+    out = {
+        "flops_per_eval": round(flops / batch),
+        "bytes_per_eval": round(bytes_acc / batch),
+        "us_per_eval": round(1e6 / evals_per_sec_chip, 2),
+    }
+    achieved_flops = flops / batch * evals_per_sec_chip
+    achieved_bw = bytes_acc / batch * evals_per_sec_chip
+    out["achieved_tflops_per_chip"] = round(achieved_flops / 1e12, 3)
+    peaks = _device_peaks(jax)
+    if peaks is not None:
+        peak_flops, peak_bw = peaks
+        out["mfu"] = round(achieved_flops / peak_flops, 4)
+        out["hbm_util"] = round(achieved_bw / peak_bw, 4)
+    return out
 
 
 def _run_accuracy_check(model, jax, jnp, dtype) -> dict:
