@@ -24,16 +24,22 @@ from .multipole import Multipole
 class BestfitModel:
     analysis: Any                       # api.orchestrate.Analysis
     theta: np.ndarray                   # bestfit sampled vector
+    # evaluate the bestfit theory without the survey window / at a different
+    # zeff (reference analysis.py:726-734, 778-784): bG restoration and chi2
+    # stay tied to the ORIGINAL windowed analysis (they condition on the real
+    # data), only the theory products are served from the rebuilt variant
+    remove_window: bool = False
+    zeff: float | None = None
     params: dict = field(init=False)    # full named params incl. restored bG
 
     @classmethod
-    def from_chains(cls, analysis, chains) -> "BestfitModel":
+    def from_chains(cls, analysis, chains, **options) -> "BestfitModel":
         """Bestfit point from a ChainProducts (global fullchi2 rule when
         available, analysis.py:425-445).  Burn-in is applied where the chains
         are loaded (``ChainProducts.from_prefix(burn_in=...)``), not here."""
         best = chains.global_bestfit()
         theta = np.array([best[p] for p in analysis.space.sampled])
-        return cls(analysis=analysis, theta=theta)
+        return cls(analysis=analysis, theta=theta, **options)
 
     def __post_init__(self):
         space = self.analysis.space
@@ -53,19 +59,68 @@ class BestfitModel:
                 bg = np.asarray(blocks[name]["bg_bestfit"])
                 for pname, value in zip(lk.marginal.names, bg):
                     self.params[pname] = float(value)
+        self.eval_analysis = self.analysis
+        if self.remove_window or self.zeff is not None:
+            self.eval_analysis = self.analysis.rebuilt(
+                remove_window=self.remove_window, zeff=self.zeff
+            )
 
     # -- evaluation -----------------------------------------------------------
     def multipoles(self, tracer: str, chained: bool = False,
                    binned: bool = False, kout=None) -> Multipole:
-        ls, k, plk = self.analysis.nonlinear_Plk_grid(
+        ls, k, plk = self.eval_analysis.nonlinear_Plk_grid(
             tracer, self.params, chained=chained, binned=binned, kout=kout
         )
         return Multipole.from_arrays(np.asarray(k), np.asarray(plk), ls)
 
     def interpolator(self, tracer: str, chained: bool = False):
-        return self.analysis.nonlinear_Plk_interpolator(
+        return self.eval_analysis.nonlinear_Plk_interpolator(
             tracer, self.params, chained=chained
         )
+
+    # -- plotting (reference analysis.py:826-880; gated matplotlib) -----------
+    def plot_theory(self, tracer: str, ax=None, compact: bool = False,
+                    k=None, **style):
+        """Smooth bestfit multipole curves k·P_ell(k) on a fine grid."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            ax = plt.gca()
+        k = np.linspace(5e-4, 0.3, 1000) if k is None else np.asarray(k)
+        itp = self.interpolator(tracer)
+        mp = Multipole.from_arrays(
+            k, np.stack([np.asarray(itp(ell, k)) for ell in itp.ls]), itp.ls)
+        return mp.plot_pk(ax=ax, compact=compact, **style)
+
+    def plot(self, tracer: str, data: Multipole | None = None, cov=None,
+             ax=None, compact: bool = False, **style):
+        """Data points (with errorbars when ``cov`` given) + bestfit curves."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            ax = plt.gca()
+        if data is not None:
+            data.plot_pk(ax=ax, compact=compact, cov=cov, **style)
+        self.plot_theory(tracer, ax=ax, compact=compact, **style)
+        ax.text(0.94, 0.90, tracer.replace("_", " "), fontsize=12,
+                transform=ax.transAxes, ha="right", va="center")
+        return ax
+
+    def plot_component(self, tracer: str, ax=None):
+        """|k·P| of the linear / loop / counterterm pieces separately."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            ax = plt.gca()
+        ls, kraw, comp = self.eval_analysis.bird_component(tracer, self.params)
+        k = np.asarray(kraw)
+        for name, part in (("linear", comp.plin), ("loop", comp.ploop),
+                           ("counter", comp.pct)):
+            mp = Multipole.from_arrays(k, np.abs(np.asarray(part)), ls)
+            mp.plot_pk(ax=ax, label=name)
+        ax.legend(frameon=False)
+        ax.set_ylabel(r"$|kP_\ell(k)|$ $[h^{-1}\,\mathrm{Mpc}]^2$")
+        return ax
 
     def chi2(self) -> dict:
         res = jax.jit(self.analysis.loglike)(jnp.asarray(self.theta))

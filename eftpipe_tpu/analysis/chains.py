@@ -54,6 +54,128 @@ class ChainProducts:
         return cls(root=prefix, samples=samples, param_names=names,
                    derived_names=derived, meta=meta)
 
+    @classmethod
+    def from_cobaya(cls, src, burn_in: float = 0.0) -> "ChainProducts":
+        """Ingest an existing **reference-format Cobaya run** — the last
+        migration gap for users post-processing their old chains here
+        (reference ``analysis.py:119-271``).
+
+        ``src`` is either the run prefix (``path/to/run``) or any of its
+        YAML files (``run.input.yaml`` / ``run.updated.yaml`` / the original
+        launch yaml containing an ``output:`` entry).  Reads:
+
+        - ``<root>.<i>.txt`` chains, column names from the ``#`` header line
+          (Cobaya writes no ``.paramnames``; the header is the source of
+          truth, reference ``analysis.py:128-133``),
+        - ``<root>.updated.yaml`` (fallback ``.input.yaml``) for the
+          sampled / fixed / derived parameter split
+          (reference ``analysis.py:157-190``),
+        - ``<root>.progress`` convergence history and the ``.minimum``
+          minimizer bestfit lazily via :meth:`progress` / :meth:`bestfit`.
+        """
+        import yaml
+
+        src = str(src)
+        if src.endswith((".input.yaml", ".updated.yaml")):
+            base = src[: -len(".input.yaml")] if src.endswith(".input.yaml") \
+                else src[: -len(".updated.yaml")]
+            prefix = Path(base)
+        elif src.endswith((".yaml", ".yml")):
+            info = yaml.safe_load(Path(src).read_text())
+            out = info.get("output")
+            if out is None:
+                raise ValueError(f"{src} has no 'output' entry")
+            out = Path(out)
+            prefix = out if out.is_absolute() else (
+                Path(src).resolve().parent / out)
+        else:
+            prefix = Path(src)
+        prefix = str(prefix)
+
+        files = sorted(glob.glob(f"{prefix}.[0-9]*.txt"))
+        if not files:
+            raise FileNotFoundError(f"no Cobaya chain files for {prefix}")
+        with open(files[0]) as f:
+            header = f.readline()
+        if not header.lstrip().startswith("#"):
+            raise ValueError(
+                f"{files[0]} has no '#' header line — not a Cobaya chain")
+        cols = header.lstrip("# ").split()
+        frames = []
+        for fn in files:
+            arr = np.atleast_2d(np.loadtxt(fn))
+            if burn_in:
+                arr = arr[int(burn_in * arr.shape[0]):]
+            frames.append(pd.DataFrame(arr, columns=cols[: arr.shape[1]]))
+        samples = pd.concat(frames, ignore_index=True)
+
+        updated, input_info = {}, {}
+        for suffix, target in ((".updated.yaml", "updated"),
+                               (".input.yaml", "input")):
+            p = Path(prefix + suffix)
+            if p.exists():
+                loaded = yaml.safe_load(p.read_text()) or {}
+                if target == "updated":
+                    updated = loaded
+                else:
+                    input_info = loaded
+        params_info = (updated or input_info).get("params", {}) or {}
+        sampled = [p for p, c in params_info.items()
+                   if isinstance(c, dict) and "prior" in c]
+        fixed = {
+            p: c["value"] for p, c in params_info.items()
+            if isinstance(c, dict) and "value" in c
+            and not c.get("derived", False)
+            and not isinstance(c["value"], str)  # lambdas are derived inputs
+        }
+        # everything in the chain beyond (weight, minuslogpost, sampled) is a
+        # derived column: Cobaya's minuslogprior/chi2 bookkeeping plus the
+        # likelihood's marg_*/*_fullchi2 extras
+        names = [c for c in cols if c in sampled]
+        derived = [c for c in cols[2:] if c not in sampled]
+        meta = dict(
+            format="cobaya", nchains=len(files),
+            input_info=input_info, updated_info=updated,
+            sampled_param_specs={p: params_info[p] for p in sampled},
+            fixed_params=fixed,
+        )
+        if not names:  # no YAML found: fall back to positional split
+            names, derived = cols[2:], []
+        return cls(root=prefix, samples=samples, param_names=names,
+                   derived_names=derived, meta=meta)
+
+    # -- Cobaya sidecar files ------------------------------------------------
+    def progress(self) -> pd.DataFrame:
+        """``<root>.progress`` convergence history (N, acceptance rate,
+        R−1; consumed by the reference at ``analysis.py:245-261``)."""
+        path = Path(f"{self.root}.progress")
+        if not path.exists():
+            raise FileNotFoundError(path)
+        with open(path) as f:
+            header = f.readline().lstrip("# ").split()
+        arr = np.atleast_2d(np.loadtxt(path))
+        return pd.DataFrame(arr, columns=header[: arr.shape[1]])
+
+    def minimum(self) -> pd.Series | None:
+        """Bestfit from a Cobaya ``.minimum`` minimizer file when present
+        (reference ``analysis.py:393-424``: three header rows, then
+        ``idx value name [latex]`` lines; a blank line separates the sampled
+        block from derived entries)."""
+        path = Path(f"{self.root}.minimum")
+        if not path.exists():
+            return None
+        values: dict[str, float] = {}
+        with open(path) as f:
+            for i, line in enumerate(f):
+                if i < 3 or not line.strip():
+                    continue
+                _idx, value, name, *_latex = line.split()
+                values[name] = float(value)
+        return pd.Series(values)
+
+    def fixed_params(self) -> dict[str, float]:
+        return dict(self.meta.get("fixed_params", {}))
+
     @staticmethod
     def _read_paramnames(prefix: str) -> tuple[list[str], list[str]]:
         names, derived = [], []
@@ -103,8 +225,13 @@ class ChainProducts:
         return pd.DataFrame(np.atleast_2d(c), index=params, columns=params)
 
     def bestfit(self, params=None) -> pd.Series:
-        """Sample with minimal -logpost (analysis.py:393-424 analogue; the
-        reference also supports minimizer ``.minimum`` files)."""
+        """Bestfit: a Cobaya ``.minimum`` minimizer file when present
+        (reference analysis.py:393-414), else the sample with minimal
+        -logpost (:415-424)."""
+        mini = self.minimum()
+        if mini is not None:
+            return mini if params is None else mini[
+                [p for p in params if p in mini.index]]
         i = int(self.samples["minuslogpost"].idxmin())
         params = params or self.all_params()
         return self.samples.loc[i, params]

@@ -152,3 +152,147 @@ def test_growth_quadrature_matches_jax_version():
         f_scipy = growth_rate(om, z)
         f_jax = float(lcdm_growth(om, z)[1])
         np.testing.assert_allclose(f_scipy, f_jax, rtol=1e-5)
+
+
+def test_chain_products_from_cobaya(tmp_path):
+    """VERDICT r3 item 5: ingest a reference-format Cobaya run directory —
+    header-line chain columns, updated-YAML sampled/fixed/derived split,
+    .progress history and .minimum minimizer bestfit."""
+    import yaml
+    from eftpipe_tpu.analysis import ChainProducts
+
+    rng = np.random.default_rng(42)
+    prefix = tmp_path / "run"
+    names = ["omega_cdm", "LRG_b1"]
+    cols = (["weight", "minuslogpost"] + names
+            + ["fsigma8_z", "minuslogprior", "chi2", "chi2__LEX_NGC",
+               "LEX_NGC_fullchi2"])
+    truth = np.array([0.12, 2.2])
+    nrow = 400
+    for i in (1, 2):
+        x = truth[None, :] + 0.01 * rng.standard_normal((nrow, 2))
+        chi2 = ((x - truth) / 0.01 ** 2 * (x - truth)).sum(axis=1)
+        body = np.column_stack([
+            np.ones(nrow), 0.5 * chi2, x[:, 0], x[:, 1],
+            0.45 * np.ones(nrow), np.zeros(nrow), chi2, chi2, chi2 + 1.0,
+        ])
+        np.savetxt(tmp_path / f"run.{i}.txt", body,
+                   header=" ".join(cols), comments="# ")
+    params_block = {
+        "omega_cdm": {"prior": {"min": 0.05, "max": 0.2}, "ref": 0.12,
+                      "latex": r"\omega_c"},
+        "LRG_b1": {"prior": {"min": 0.0, "max": 4.0}, "ref": 2.2},
+        "h": {"value": 0.6777},
+        "LRG_b2": {"value": "lambda LRG_c2: LRG_c2/1.414"},
+        "fsigma8_z": {"derived": True, "latex": r"f\sigma_8"},
+    }
+    info = {"params": params_block, "output": "run",
+            "likelihood": {"LEX_NGC": {"marg": {}}}}
+    (tmp_path / "run.input.yaml").write_text(yaml.safe_dump(info))
+    (tmp_path / "run.updated.yaml").write_text(yaml.safe_dump(info))
+    np.savetxt(tmp_path / "run.progress",
+               np.array([[100, 1.0, 0.21, 3.0, 5.0],
+                         [200, 2.0, 0.24, 0.08, 0.3]]),
+               header="N  timestamp  acceptance_rate  Rminus1  Rminus1_cl",
+               comments="# ")
+    (tmp_path / "run.minimum").write_text(
+        "-log(Like) = 1.23\nchi-sq = 2.46\n\n"
+        "   1  0.1201  omega_cdm  \\omega_c\n"
+        "   2  2.1995  LRG_b1\n"
+        "\n"
+        "   3  0.4501  fsigma8_z  f\\sigma_8\n"
+    )
+
+    # all three entry points resolve the same run
+    for src in (prefix, tmp_path / "run.updated.yaml",
+                tmp_path / "run.input.yaml"):
+        cp = ChainProducts.from_cobaya(src)
+        assert cp.param_names == names
+    cp = ChainProducts.from_cobaya(prefix)
+    assert cp.meta["nchains"] == 2 and len(cp.samples) == 2 * nrow
+    # sampled/fixed/derived split from the updated YAML
+    assert cp.fixed_params() == {"h": 0.6777}  # lambda strings excluded
+    assert "fsigma8_z" in cp.derived_names
+    assert "chi2__LEX_NGC" in cp.derived_names
+    # statistics reproduce the synthetic posterior
+    assert abs(cp.mean(names)["omega_cdm"] - 0.12) < 3e-3
+    assert abs(cp.std(names)["LRG_b1"] - 0.01) < 2e-3
+    c = cp.cov(names)
+    assert c.shape == (2, 2) and abs(c.loc["LRG_b1", "LRG_b1"] - 1e-4) < 5e-5
+    # bestfit prefers the minimizer file; global_bestfit uses fullchi2 cols
+    bf = cp.bestfit()
+    assert bf["omega_cdm"] == pytest.approx(0.1201)
+    assert bf["fsigma8_z"] == pytest.approx(0.4501)
+    gb = cp.global_bestfit()
+    assert abs(gb["omega_cdm"] - 0.12) < 5e-3
+    # progress history
+    prog = cp.progress()
+    assert list(prog.columns)[:2] == ["N", "timestamp"]
+    assert prog["Rminus1"].iloc[-1] == pytest.approx(0.08)
+    # burn-in drops rows per chain
+    cp2 = ChainProducts.from_cobaya(prefix, burn_in=0.5)
+    assert len(cp2.samples) == nrow
+
+
+# ----------------------------------------------------------------------
+def test_multipole_xi_space(tmp_path):
+    """VERDICT r3 item 9: xi-space products.  The x-axis semantics are
+    inferred (symbol + range heuristic, reference analysis.py:564-569), the
+    xi plot weights by s^2, and apply_covariance stores err columns."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    s = np.linspace(10.0, 150.0, 29)
+    xi0, xi2 = 0.01 * np.exp(-s / 60.0), -0.004 * np.exp(-s / 80.0)
+    mp = Multipole.from_arrays(s, np.stack([xi0, xi2]), [0, 2], symbol="xi")
+    assert mp.ells == [0, 2]
+    assert not mp.maybe_power_spectrum()      # symbol != P, s reaches 150
+    np.testing.assert_allclose(mp.s, s)
+
+    # errorbars attach as xi{ell}err columns and survive savetxt round trip
+    cov = np.diag(np.concatenate([np.full(29, 1e-6), np.full(29, 4e-6)]))
+    mp.apply_covariance(cov)
+    np.testing.assert_allclose(mp.err(0), 1e-3)
+    np.testing.assert_allclose(mp.err(2), 2e-3)
+    path = tmp_path / "xi.txt"
+    mp.savetxt(path)
+    mp2 = Multipole.loadtxt(path)
+    assert mp2.symbol == "xi" and mp2.ells == [0, 2]
+    np.testing.assert_allclose(mp2(0), xi0)
+    np.testing.assert_allclose(mp2.err(2), 2e-3)
+
+    # plot dispatches to the xi style: y data are s^2-weighted
+    ax = mp.plot(label="mock")
+    ydata = {tuple(np.round(l.get_xdata()[:2], 6)): l for l in ax.lines}
+    found = [l.get_ydata() for l in ax.lines if len(l.get_ydata()) == 29]
+    assert any(np.allclose(y, s**2 * xi0) for y in found)
+    plt.close("all")
+
+    # pk products still dispatch to the k-weighted fourier style
+    k = np.linspace(0.01, 0.2, 20)
+    pk = Multipole.from_arrays(k, np.stack([1e4 / (1 + k)]), [0])
+    assert pk.maybe_power_spectrum()
+    ax = pk.plot()
+    assert any(np.allclose(l.get_ydata(), k * 1e4 / (1 + k))
+               for l in ax.lines if len(l.get_ydata()) == 20)
+    ax = pk.plot(compact=True)
+    assert any(np.allclose(l.get_ydata(), k**1.5 * 1e4 / (1 + k))
+               for l in ax.lines if len(l.get_ydata()) == 20)
+    plt.close("all")
+
+
+def test_multipole_styles():
+    """Style presets resolve per-ell with the default merged in, and
+    overrides thread through (update_style analogue)."""
+    from eftpipe_tpu.analysis.multipole import resolve_style
+
+    st = resolve_style("modern", alpha=0.3)
+    assert st[0]["errorbar"]["fmt"] == "o"          # per-ell survives
+    assert st[2]["line"]["alpha"] == 0.3            # override beats default
+    assert st["default"]["errorbar"]["alpha"] == 0.3
+    st2 = resolve_style("classical")
+    assert st2[4]["line"]["c"] == "g"
+    # dict styles pass through untouched
+    st3 = resolve_style({0: {"line": {"c": "m"}}, "default": {}})
+    assert st3[0]["line"]["c"] == "m"
