@@ -15,7 +15,7 @@ The reference implementation evaluates O(1) posterior/sec/process (PyBird
 Extra modes:
   BENCH_ACCURACY=1 (default) — also computes a float64 CPU reference logp
     for a small seeded batch in a subprocess and reports/enforces the
-    production-dtype accuracy budget (|dlogp| < 0.05, the
+    production-dtype accuracy budget (|dlogp| < 0.02, the
     tests/test_accuracy_budget.py gate on the real-TPU path).
   BENCH_SHARD=1 — shards the walker batch over all visible devices
     (jax.sharding.Mesh) and reports per-chip scaling efficiency against a
@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-LOGP_ABS_BUDGET = 0.05
+LOGP_ABS_BUDGET = 0.02  # tightened from 0.05 (r3 measured 0.0119 on TPU)
 _ACC_BATCH = 16
 
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..ops.fftlog import HostFFTLog, make_plan, fftlog_coef
 from ..ops import cplx
 from ..tables.loop_matrices import m13_matrices, m22_matrices, mpc
+from ..utils.io import atomic_save_npz
 from .config import EFTConfig
 
 
@@ -34,8 +35,29 @@ def _loop_fft(cfg: EFTConfig) -> HostFFTLog:
     return HostFFTLog(n=cfg.nfft_loop, xmin=1.5e-5, xmax=1000.0, bias=-1.6)
 
 
-def build_nonlinear_tables(cfg: EFTConfig) -> dict:
-    """Host-side constant tensors for the loop engine (complex128/float64)."""
+_TABLE_MEMO: dict[tuple, dict] = {}
+
+
+def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
+    """Host-side constant tensors for the loop engine (complex128/float64).
+
+    Memoized on the fields that actually enter the tables (the FFTLog
+    settings and the k/s/kin grids — NOT km/kr/nd, which only scale the
+    per-eval bias contraction): a multi-tracer build recomputes the ~100 MB
+    fold tensors once instead of once per tracer.  With ``cache_dir`` the
+    two expensive fold tensors additionally persist across processes
+    (uncompressed npz, hash-keyed like the window cache)."""
+    memo_key = (cfg.nl, cfg.kmax, cfg.optiresum, cfg.ir_cutoff, cfg.k_ir,
+                cfg.nfft_loop, cfg.kin_min, cfg.kin_max, cfg.nkin)
+    if memo_key in _TABLE_MEMO:
+        return dict(_TABLE_MEMO[memo_key])
+    fold_cache = None
+    if cache_dir is not None:
+        import hashlib
+        from pathlib import Path
+
+        digest = hashlib.sha256(repr(memo_key).encode()).hexdigest()[:16]
+        fold_cache = Path(cache_dir) / f"loopfold_{digest}.npz"
     fft = _loop_fft(cfg)
     kin = cfg.kin
     # FFTLog plans; IR-cutoff modes truncate the input grid below k_ir and
@@ -64,7 +86,6 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
     ells = 2 * np.arange(cfg.nl)
 
     m13 = m13_matrices(pw)  # (10, n+1)
-    m22 = m22_matrices(pw)  # (28, n+1, n+1)
 
     kpow = k[None, :] ** pw[:, None]  # (n+1, nk)
     kpow22 = k[None, :] ** (pw[:, None] + 1.5)  # k³ split across both factors
@@ -78,11 +99,6 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
     act = np.einsum("ns,ln->nls", spow * s[None, :] ** -2.0, mcfct)
     act_nnlo = np.einsum("ns,ln->nls", spow * s[None, :] ** -4.0, mcfct_nnlo)
 
-    # Bessel moments for the loop CF: Ml[l, n, m] = MPC(2l, ns_n + ns_m - 3/2)
-    ml = mpc(ells[:, None, None], ns[None, :, None] + ns[None, None, :] - 1.5)
-    mcf22 = np.einsum("lnm,bnm->blnm", ml, m22)
-    mcf13 = np.einsum("lnm,bn->blnm", ml, m13)
-
     # Hermitian fold: the quadratic-form matrices act on the 2·nc+1
     # independent REAL dofs of the rfft coefficients (pallas_kernels.py) —
     # one real matmul per bl at evaluation time instead of four.  The
@@ -95,12 +111,31 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
     n1 = pw.size
     nl = len(ells)
     nc = n1 // 2
-    m22_fold = trim_nyquist(herm_fold(m22), nc)
-    mcf_all = np.concatenate([
-        mcf22.reshape(mcf22.shape[0] * nl, n1, n1),
-        mcf13.reshape(mcf13.shape[0] * nl, n1, n1),
-    ])
-    mcf_fold = trim_nyquist(herm_fold(mcf_all), nc)
+    n22, n13 = cfg.n22, cfg.n13
+    m22_fold = mcf_fold = None
+    if fold_cache is not None and fold_cache.exists():
+        with np.load(fold_cache) as z:
+            m22_fold, mcf_fold = z["m22_fold"], z["mcf_fold"]
+        if m22_fold.shape[0] != n22 or mcf_fold.shape[0] != (n22 + n13) * nl:
+            m22_fold = mcf_fold = None  # stale layout: recompute
+    if mcf_fold is None:
+        m22 = m22_matrices(pw)  # (28, n+1, n+1)
+        # Bessel moments for the loop CF: Ml[l,n,m] = MPC(2l, ns_n+ns_m-3/2)
+        ml = mpc(ells[:, None, None],
+                 ns[None, :, None] + ns[None, None, :] - 1.5)
+        m22_fold = trim_nyquist(herm_fold(m22), nc)
+        # write the (b, l) CF quadratic-form matrices straight into one
+        # preallocated block: einsum+concatenate would first-touch ~3 extra
+        # 100 MB temporaries, the dominant cost of this Phase-A step on a
+        # page-fault-bound host
+        mcf_all = np.empty(((n22 + n13) * nl, n1, n1), dtype=complex)
+        np.multiply(m22[:, None], ml[None, :],
+                    out=mcf_all[: n22 * nl].reshape(n22, nl, n1, n1))
+        np.multiply(m13[:, None, :, None], ml[None, :],
+                    out=mcf_all[n22 * nl:].reshape(n13, nl, n1, n1))
+        mcf_fold = trim_nyquist(herm_fold(mcf_all), nc)
+        if fold_cache is not None:
+            atomic_save_npz(fold_cache, m22_fold=m22_fold, mcf_fold=mcf_fold)
     # the trim is exact only because the tapered DFT zeroes c_{±N/2}
     for plan in {id(plan_pk): plan_pk, id(plan_cf): plan_cf}.values():
         assert not plan.gre[:, 0].any() and not plan.gre[:, -1].any()
@@ -114,7 +149,7 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
         r, i = cplx.split(x)
         return r[nc:-1], i[nc:-1]
 
-    return dict(
+    tables = dict(
         plan_pk=plan_pk,
         plan_cf=plan_cf,
         kin_cut_index=kin_cut_index,
@@ -125,13 +160,15 @@ def build_nonlinear_tables(cfg: EFTConfig) -> dict:
         act_nnlo=c(act_nnlo),
         m22_fold=m22_fold,
         mcf_fold=mcf_fold,
-        n22=m22.shape[0],
-        n13=m13.shape[0],
+        n22=n22,
+        n13=n13,
         spow_half=half(spow),
         nc=nc,
         k=k,
         s=s,
     )
+    _TABLE_MEMO[memo_key] = tables
+    return dict(tables)
 
 
 def _as_pair(t, dtype):

@@ -70,7 +70,7 @@ class TracerPipeline:
         with_rsd: bool = True,
         cache_dir=None,
     ) -> "TracerPipeline":
-        nt = build_nonlinear_tables(cfg)
+        nt = build_nonlinear_tables(cfg, cache_dir=cache_dir)
         bt = build_bird_tables(cfg)
         rt = None
         if with_irresum:

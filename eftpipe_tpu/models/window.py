@@ -116,7 +116,11 @@ def compute_wal(
             x[None, None, None, :] * k[None, None, :, None],
         )
 
-    f_in = qal[:, :, None, :] * np.ones(k.size)[None, None, :, None]
+    # the mask multipoles are k-independent — only the j_a(ks) kernel carries
+    # k.  A length-1 k axis broadcasts against the kernel inside coef(), so
+    # the 10^4-point mask resample runs once per (a,l) instead of nk times
+    # (measured: 36 s -> 1 s per tracer at nmax=4096/accboost=4)
+    f_in = qal[:, :, None, :]
     coef = fft.coef(sw, f_in, extrap="padding", window=window_param, kernel=kernel)
     phase = np.real((-1j) ** (2 * ells_a))[:, None, None, None] * np.real(
         (1j) ** (2 * np.arange(nl))

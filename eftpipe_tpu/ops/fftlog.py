@@ -91,9 +91,13 @@ class HostFFTLog:
         iright = int(np.searchsorted(self.x, xin[-1], side="right"))
         xmid = self.x[ileft:iright]
 
-        fx = np.zeros(f.shape[:-1] + (self.n,), dtype=np.float64)
         detilt = np.exp(-self.bias * np.arange(ileft, iright) * self.dx)
         if kernel is not None:
+            if tuple(extrap) != ("padding", "padding") and (
+                    ileft > 0 or iright < self.n):
+                raise ValueError(
+                    "kernel= requires extrap='padding': the power-law "
+                    "extrapolation branches do not carry the kernel factor")
             detilt = detilt * kernel(xmid)
         if xin.size <= 512:
             # operator form: reused by jit plans with fixed input grids
@@ -107,7 +111,14 @@ class HostFFTLog:
 
             xi, xo = (np.log(xin), np.log(xmid)) if log_interp else (xin, xmid)
             fmid = CubicSpline(xi, f, axis=-1, extrapolate=True)(xo)
-        fx[..., ileft:iright] = fmid * detilt
+        # fmid and the kernel broadcast against each other: callers pass
+        # length-1 axes where the data does not actually vary (e.g. the
+        # window's k axis — the mask multipoles are k-independent, only the
+        # j_a(ks) kernel carries k), so the expensive resample runs once
+        # per distinct series instead of once per broadcast element
+        fmid = fmid * detilt
+        fx = np.zeros(fmid.shape[:-1] + (self.n,), dtype=np.float64)
+        fx[..., ileft:iright] = fmid
 
         if extrap[0] == "extrap" and ileft > 0:
             slope = (np.log(f[..., 1:2]) - np.log(f[..., 0:1])) / np.log(xin[1] / xin[0])

@@ -236,9 +236,41 @@ def herm_fold_matrix(n1: int) -> np.ndarray:
 
 def herm_fold(m: np.ndarray) -> np.ndarray:
     """Host: fold a (..., N, N) complex quadratic-form matrix to the real
-    M̃ = Re(Aᵀ M A) acting on the independent dofs."""
-    a = herm_fold_matrix(m.shape[-1])
-    return np.real(np.einsum("nw,...nm,mv->...wv", a, m, a, optimize=True))
+    M̃ = Re(Aᵀ M A) acting on the independent dofs.
+
+    A has at most two nonzeros per column (±1 / ±i pairing the n = nc±j
+    rows), so the fold is pure slicing + adds — O(N²) per matrix, not the
+    O(N³) dense congruence (measured on the cold DR16 Phase-A build: the
+    114 CF fold matrices took 55 s as zgemms, <0.5 s this way)."""
+    nc = m.shape[-1] // 2
+    n1 = m.shape[-1]
+    batch = m.shape[:-2]
+    # split real/imag and write every stage into preallocated buffers with
+    # out=: only the real part of Aᵀ(MA) survives, and this host fold is
+    # bound by page-fault/allocation cost, not FLOPs — each avoided
+    # temporary is a first-touch of a ~60 MB block
+    mr, mi = m.real, m.imag
+    mar = np.empty(batch + (n1, n1))      # Re(MA)
+    mai = np.empty(batch + (n1, n1))      # Im(MA)
+    # columns of A: w=0 -> e_nc; w=j -> e_{nc+j}+e_{nc-j}; w=nc+j -> i(e_+ - e_-)
+    mar[..., :, 0] = mr[..., :, nc]
+    np.add(mr[..., :, nc + 1:], mr[..., :, nc - 1::-1],
+           out=mar[..., :, 1:nc + 1])
+    np.subtract(mi[..., :, nc - 1::-1], mi[..., :, nc + 1:],
+                out=mar[..., :, nc + 1:])
+    mai[..., :, 0] = mi[..., :, nc]
+    np.add(mi[..., :, nc + 1:], mi[..., :, nc - 1::-1],
+           out=mai[..., :, 1:nc + 1])
+    np.subtract(mr[..., :, nc + 1:], mr[..., :, nc - 1::-1],
+                out=mai[..., :, nc + 1:])
+    # rows: Re(Aᵀ (MA)) with the same index pattern
+    out = np.empty(batch + (n1, n1))
+    out[..., 0, :] = mar[..., nc, :]
+    np.add(mar[..., nc + 1:, :], mar[..., nc - 1::-1, :],
+           out=out[..., 1:nc + 1, :])
+    np.subtract(mai[..., nc - 1::-1, :], mai[..., nc + 1:, :],
+                out=out[..., nc + 1:, :])
+    return out
 
 
 def herm_w(coef, pw_half, nc: int):

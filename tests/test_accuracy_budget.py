@@ -21,10 +21,10 @@ from eftpipe_tpu.api.flagship import build_flagship
 from eftpipe_tpu.models.pipeline import CosmoInputs
 
 # |logp_f32 - logp_f64| budget, absolute.  Measured on this suite's CPU f32
-# path and on TPU bf16x3 ('high'): both land near ~5e-3; 0.05 gives 10x
-# headroom while still catching a real precision regression (a single-pass
-# bf16 matmul blows the budget by >1 OOM).
-LOGP_ABS_BUDGET = 0.05
+# path ~5e-3 and on TPU bf16x3 ('high') 0.0119 (BENCH_r03); 0.02 keeps
+# honest headroom (~1.7x the measured TPU error) while staying well under
+# ~4% of a 1σ logp move — a single-pass bf16 matmul blows it by >1 OOM.
+LOGP_ABS_BUDGET = 0.02
 # multipole budget: BASELINE.md "<0.01%" relative, on the binned theory
 # vector entering the likelihood (weighted by its own magnitude).
 MULTIPOLE_REL_BUDGET = 1e-4
