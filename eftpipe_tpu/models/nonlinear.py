@@ -20,6 +20,8 @@ the input P_lin.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -112,12 +114,14 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
     nl = len(ells)
     nc = n1 // 2
     n22, n13 = cfg.n22, cfg.n13
-    m22_fold = mcf_fold = None
+    m22_fold = mcf_fold = lowrank = None
     if fold_cache is not None and fold_cache.exists():
         with np.load(fold_cache) as z:
             m22_fold, mcf_fold = z["m22_fold"], z["mcf_fold"]
+            if "q22" in z:  # legacy caches predate the low-rank factors
+                lowrank = {k: z[k] for k in ("q22", "s22", "qcf", "scf")}
         if m22_fold.shape[0] != n22 or mcf_fold.shape[0] != (n22 + n13) * nl:
-            m22_fold = mcf_fold = None  # stale layout: recompute
+            m22_fold = mcf_fold = lowrank = None  # stale layout: recompute
     if mcf_fold is None:
         m22 = m22_matrices(pw)  # (28, n+1, n+1)
         # Bessel moments for the loop CF: Ml[l,n,m] = MPC(2l, ns_n+ns_m-3/2)
@@ -134,8 +138,20 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
         np.multiply(m13[:, None, :, None], ml[None, :],
                     out=mcf_all[n22 * nl:].reshape(n13, nl, n1, n1))
         mcf_fold = trim_nyquist(herm_fold(mcf_all), nc)
+    if lowrank is None:
+        # truncated eigenbasis of the folded matrices — the f32 production
+        # contraction (ops/pallas_kernels.py `quad_form_lowrank`); ~1e-8
+        # spectral truncation, far below the f32 rounding the |Δlogp| budget
+        # already gates end-to-end
+        from ..ops.pallas_kernels import lowrank_factors
+
+        tol = float(os.environ.get("EFTPIPE_TPU_LOWRANK_TOL", "1e-8"))
+        q22, s22 = lowrank_factors(m22_fold, tol=tol)
+        qcf, scf = lowrank_factors(mcf_fold, tol=tol)
+        lowrank = dict(q22=q22, s22=s22, qcf=qcf, scf=scf)
         if fold_cache is not None:
-            atomic_save_npz(fold_cache, m22_fold=m22_fold, mcf_fold=mcf_fold)
+            atomic_save_npz(fold_cache, m22_fold=m22_fold, mcf_fold=mcf_fold,
+                            **lowrank)
     # the trim is exact only because the tapered DFT zeroes c_{±N/2}
     for plan in {id(plan_pk): plan_pk, id(plan_cf): plan_cf}.values():
         assert not plan.gre[:, 0].any() and not plan.gre[:, -1].any()
@@ -160,6 +176,7 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
         act_nnlo=c(act_nnlo),
         m22_fold=m22_fold,
         mcf_fold=mcf_fold,
+        lowrank=lowrank,
         n22=n22,
         n13=n13,
         spow_half=half(spow),
@@ -208,18 +225,32 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     act_nnlo = _as_pair(nt["act_nnlo"], dtype)
     kpow22_half = _as_pair(nt["kpow22_half"], dtype)
     spow_half = _as_pair(nt["spow_half"], dtype)
-    m22_fold = jnp.asarray(nt["m22_fold"], dtype)
-    mcf_fold = jnp.asarray(nt["mcf_fold"], dtype)
     nc = nt["nc"]
 
-    from ..ops.pallas_kernels import herm_w, quad_form_real
+    from ..ops.pallas_kernels import (
+        herm_w, lowrank_enabled, quad_form_lowrank, quad_form_real,
+    )
+
+    use_lr = lowrank_enabled(dtype) and nt.get("lowrank") is not None
+    if use_lr:
+        lr = {k: jnp.asarray(v, dtype) for k, v in nt["lowrank"].items()}
+
+        def qf(w, which):
+            return quad_form_lowrank(w, lr["q" + which], lr["s" + which])
+    else:
+        m22_fold = jnp.asarray(nt["m22_fold"], dtype)
+        mcf_fold = jnp.asarray(nt["mcf_fold"], dtype)
+
+        def qf(w, which):
+            return quad_form_real(w, m22_fold if which == "22" else mcf_fold)
 
     # ---- P-side -----------------------------------------------------------
     # T[..., n, k] = c_n · k^{ν_n + 3/2};  P22_bk = Re Σ_{nm} T_nk T_mk M22_bnm
     # — Hermitian-folded to a REAL quadratic form (one matmul per b, walker-
-    # grouped under vmap; ops/pallas_kernels.py)
+    # grouped under vmap), or its truncated eigenbasis for f32
+    # (ops/pallas_kernels.py)
     w_pk = herm_w(coef_pk, kpow22_half, nc)
-    p22 = quad_form_real(w_pk, m22_fold)
+    p22 = qf(w_pk, "22")
     p13_kernel = cplx.ceinsum_real("...n,nbk->...bk", coef_pk, a13)
 
     # ---- CF-side ----------------------------------------------------------
@@ -232,7 +263,7 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     w_cf = herm_w(coef_cf, spow_half, nc)
     n22b, n13b = nt["n22"], nt["n13"]
     nl = a11[0].shape[1]
-    c_all = quad_form_real(w_cf, mcf_fold)  # (..., (28+10)·nl, ns)
+    c_all = qf(w_cf, "cf")  # (..., (28+10)·nl, ns)
     ns_ = c_all.shape[-1]
     c22 = jnp.swapaxes(
         c_all[..., : n22b * nl, :].reshape(c_all.shape[:-2] + (n22b, nl, ns_)),

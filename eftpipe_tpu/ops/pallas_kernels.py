@@ -9,8 +9,12 @@ reference pybird.py:1103-1125):
 with z a walker-dependent complex (N, S) tensor and M a constant complex
 (B, L, N, N) tensor (N = NFFT+1 = 257, S = 80, B·L ≈ 60-120).
 
-Since the Hermitian fold (below) the PRODUCTION path is the real quadratic
-form ``quad_form_real`` on 255 real dofs.  Its XLA lowering still
+Since the Hermitian fold (below) the exact path is the real quadratic
+form ``quad_form_real`` on 255 real dofs; since round 4 the f32 PRODUCTION
+path is its truncated eigenbasis ``quad_form_lowrank`` (two skinny GEMMs,
+~3.3x fewer MACs, no V intermediate — see the low-rank section below),
+with ``quad_form_real`` kept as the exact f64 parity-gate path.  The dense
+form's XLA lowering still
 materialises the intermediate V[b, l, n, s] = Σ_m M̃ w in HBM (~75 MB per
 8-walker group for the CF stage, written + read back); on TPU the fused
 :func:`qf_real_pallas` kernel keeps V in VMEM: each (bl-tile,
@@ -432,6 +436,123 @@ def _qf_real_jvp(primals, tangents):
     if not isinstance(dm, jax.custom_derivatives.SymbolicZero):
         dy = dy + qf_real_xla(w, dm)
     return y, dy
+
+
+# ---------------------------------------------------------------------------
+# Low-rank (eigenbasis) REAL quadratic form — the production f32 path
+# ---------------------------------------------------------------------------
+#
+# Only the symmetric part of M̃ enters wᵀ M̃ w, and the folded loop matrices
+# are numerically low-rank (smooth rational-function tables: at a 1e-8
+# per-matrix spectral cut the 114 CF matrices carry 6,181 of 114·255 = 29,070
+# eigenpairs).  Eigendecomposing sym(M̃_b) = Σ_r λ_r u_r u_rᵀ and stacking the
+# scaled eigenvectors q_r = √|λ_r|·u_r of ALL matrices into one (R, N) tensor
+# turns the whole contraction into two skinny GEMMs with an elementwise
+# square in between:
+#
+#     Y = Q w                      (R, S)   — one MXU pass, no V intermediate
+#     C_b = Σ_{r∈b} sign(λ_r) Y_r² = (S Y∘Y)_b
+#
+# vs the dense path's 2·BL·N²·S MACs this is 2·(R·N + BL·R)·S — a 3.3x FLOP
+# cut for the CF stage — and the HBM-bound (BL, N, S) V intermediate is gone
+# (Y is BL·N/R ≈ 4.7x smaller).  The truncation is an approximation
+# (~1e-8 relative, far below f32 rounding), so it is dispatched for float32
+# evaluation only; float64 (the parity-gate dtype) keeps the exact dense
+# quadratic form.  Factors are built host-side in Phase A
+# (models/nonlinear.py) and persisted with the fold cache.
+
+
+def lowrank_factors(m_fold: np.ndarray, tol: float = 1e-8,
+                    pad_to: int = 128):
+    """Host: eigendecompose sym(M̃) per matrix, truncate at ``tol`` relative
+    to each matrix's spectral radius, and stack.
+
+    Returns (q, smat): q (R, N) float64 rows √|λ|·uᵀ, smat (BL, R) float64
+    with sign(λ_r) at (owner(r), r) and 0 elsewhere, R zero-padded to a
+    multiple of ``pad_to`` for MXU tiling.
+    """
+    ms = 0.5 * (m_fold + np.swapaxes(m_fold, -1, -2))
+    lam, u = np.linalg.eigh(ms)            # (BL, N), (BL, N, N) columns
+    alam = np.abs(lam)
+    mask = alam > tol * alam.max(axis=-1, keepdims=True)
+    q_all = np.swapaxes(u, -1, -2) * np.sqrt(alam)[..., None]  # (BL, N, N) rows
+    q = q_all[mask]                         # (R, N)
+    owner = np.nonzero(mask)[0]             # (R,)
+    sgn = np.sign(lam[mask])
+    r = q.shape[0]
+    rp = _cdiv(r, pad_to) * pad_to
+    if rp != r:
+        q = np.concatenate([q, np.zeros((rp - r, q.shape[1]))], axis=0)
+    smat = np.zeros((m_fold.shape[0], rp))
+    smat[owner, np.arange(r)] = sgn
+    return q, smat
+
+
+def qf_lowrank_xla(w, q, smat):
+    """w: (..., N, S); q: (R, N); smat: (BL, R) → (..., BL, S)."""
+    y = jnp.einsum("rn,...ns->...rs", q, w)
+    return jnp.einsum("br,...rs->...bs", smat, y * y)
+
+
+def _qf_lowrank_grouped(w, q, smat, group: int = 8):
+    """Walker-grouped low-rank contraction (see cf_contract_grouped): fold
+    ``group`` walkers' S columns together so the GEMM lane dimension is a
+    multiple of 128 (S = 80 → 640)."""
+    nw, n, s = w.shape
+    g = max(1, min(group, nw))
+    wp = _cdiv(nw, g) * g
+    if wp != nw:
+        w = jnp.pad(w, [(0, wp - nw), (0, 0), (0, 0)])
+    wg = w.reshape(wp // g, g, n, s).transpose(0, 2, 1, 3).reshape(
+        wp // g, n, g * s)
+    out = qf_lowrank_xla(wg, q, smat)
+    bl = smat.shape[0]
+    out = out.reshape(wp // g, bl, g, s).transpose(0, 2, 1, 3).reshape(
+        wp, bl, s)
+    return out[:nw]
+
+
+@jax.custom_batching.custom_vmap
+def _qf_lowrank_primal(w, q, smat):
+    return qf_lowrank_xla(w, q, smat)
+
+
+@_qf_lowrank_primal.def_vmap
+def _qf_lowrank_vmap(axis_size, in_batched, w, q, smat):
+    wb, qb, sb = in_batched
+    if qb or sb or not wb:
+        return qf_lowrank_xla(w, q, smat), True
+    return _qf_lowrank_grouped(w, q, smat), True
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=())
+def quad_form_lowrank(w, q, smat):
+    """smat @ (Qw)∘(Qw) — the truncated-eigenbasis form of
+    :func:`quad_form_real` (same custom_vmap walker grouping + custom_jvp).
+    """
+    return _qf_lowrank_primal(w, q, smat)
+
+
+@functools.partial(quad_form_lowrank.defjvp, symbolic_zeros=True)
+def _qf_lowrank_jvp(primals, tangents):
+    w, q, smat = primals
+    dw, _, _ = tangents
+    y = quad_form_lowrank(w, q, smat)
+    if isinstance(dw, jax.custom_derivatives.SymbolicZero):
+        return y, jnp.zeros_like(y)
+    yw = jnp.einsum("rn,...ns->...rs", q, w)
+    dyw = jnp.einsum("rn,...ns->...rs", q, dw)
+    return y, jnp.einsum("br,...rs->...bs", smat, 2.0 * yw * dyw)
+
+
+def lowrank_enabled(dtype) -> bool:
+    """The low-rank contraction runs for float32 evaluation (the production
+    TPU dtype, already covered by the end-to-end |Δlogp| budget); float64 —
+    the f64-vs-reference parity-gate dtype — keeps the exact dense form.
+    Opt-out: EFTPIPE_TPU_LOWRANK=0."""
+    if os.environ.get("EFTPIPE_TPU_LOWRANK", "1") == "0":
+        return False
+    return jnp.dtype(dtype) == jnp.float32
 
 
 def pallas_enabled() -> bool:
