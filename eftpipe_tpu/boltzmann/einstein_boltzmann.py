@@ -108,8 +108,14 @@ def build_schedule(k_mpc: np.ndarray, bg, th, lna_out: np.ndarray,
     schedule understeps high-k modes at low ω_m, where τ grows and ℋ
     shrinks relative to the fiducial).
     """
-    bgs = bg if isinstance(bg, (list, tuple)) else [bg]
-    ths = th if isinstance(th, (list, tuple)) else [th]
+    def as_list(x):
+        # Background/Thermo are NamedTuples (tuples!) — only a plain
+        # list/tuple of tables means "envelope over corners"
+        return list(x) if isinstance(x, (list, tuple)) and not hasattr(
+            x, "_fields") else [x]
+
+    bgs = as_list(bg)
+    ths = as_list(th)
     lna_out = np.sort(np.asarray(lna_out))
 
     # dense evaluation grid for the step-density functional
