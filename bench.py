@@ -174,7 +174,14 @@ def main() -> None:
         batches = _make_batches(theta0, batch, iters + 1, dtype, jnp)
         dt = run_timed(logp_batch, batches)
         value = batch * iters / dt / n_dev
-        cost_probe = (logp_batch, batches[0], batch)
+        # cost-model probe on a PLAIN vmap over one chunk: XLA's
+        # cost_analysis counts a lax.map/while body ONCE (not × trip count),
+        # so probing the chunked executable would under-report flops/bytes
+        # by batch/chunk.  The chunked executable is exactly a loop over
+        # this body, so body-cost / chunk is the honest per-eval number.
+        chunk_eff = min(chunk, batch)
+        cost_probe = (jax.jit(jax.vmap(model.logp)),
+                      batches[0][:chunk_eff], chunk_eff)
 
     if os.environ.get("BENCH_PROFILE", "0") != "0":
         from eftpipe_tpu.utils.profiling import (
@@ -247,7 +254,9 @@ def _roofline(jax, cost_probe, evals_per_sec_chip, n_dev) -> dict:
     'high'-precision f32 matmuls), not an algorithmic count."""
     fn, example, batch = cost_probe
     try:
-        compiled = fn.lower(example).compile()  # cache hit: already compiled
+        # may compile fresh (the single-chunk probe body); runs after all
+        # timed sections so the compile cannot pollute the measurement
+        compiled = fn.lower(example).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):  # older JAX: one dict per module
             cost = cost[0]

@@ -244,7 +244,16 @@ class EmulatorProvider:
 
 def _poly_design(xn, degree: int):
     """Monomial design matrix of the (…, 3) normalized inputs up to
-    ``degree`` (fixed deterministic term order)."""
+    ``degree`` (fixed deterministic term order).
+
+    The output feeds a (…, nterms) @ (nterms, d) matmul; without the
+    optimization barrier XLA's algebraic simplifier distributes that dot
+    over this stack's concatenate and emits one broadcast-multiply-add
+    rank-1 update PER TERM on the (batch, d≈7.5k) output — measured 23 MB
+    of HBM traffic per eval on the flagship (60% of the cosmology stage),
+    vs ~60 KB for the single dot the barrier preserves."""
+    import jax
+
     from itertools import combinations_with_replacement
 
     cols = [jnp.ones(xn.shape[:-1])]
@@ -254,7 +263,7 @@ def _poly_design(xn, degree: int):
             for j in combo:
                 c = c * xn[..., j]
             cols.append(c)
-    return jnp.stack(cols, axis=-1)
+    return jax.lax.optimization_barrier(jnp.stack(cols, axis=-1))
 
 
 @dataclass(eq=False)

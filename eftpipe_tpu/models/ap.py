@@ -13,6 +13,8 @@ walkers is done with ``jax.vmap`` at the pipeline level.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -60,16 +62,37 @@ def build_ap_tables(
         da_fid = lcdm_da(om_ap, z_ap)
         h_fid = lcdm_hubble(om_ap, z_ap)
     nmu = nbinsmu * accboost
-    mu = np.linspace(0.0, 1.0, nmu)
     nlmax = nlmax or cfg.nl
-    # (2l+1)/2 L_2i(µ) on the fixed grid, times 2·trapz weights — one matrix
+
+    def nodes_weights(mu, wmu):
+        # (2l+1)/2 L_2i(µ) at the nodes, times 2·quadrature weights
+        legw = np.stack(
+            [(4.0 * i + 1.0) / 2.0 * legendre_even(i, mu) for i in range(nlmax)]
+        )  # (nlmax, nmu)
+        return mu, 2.0 * legw * wmu[None, :]
+
+    # reference quadrature: nbinsmu-point trapezoid on [0, 1]
+    # (pybird.py:1581-1596) — the f64 parity path
+    mu = np.linspace(0.0, 1.0, nmu)
     wmu = np.full(nmu, mu[1] - mu[0])
     wmu[0] *= 0.5
     wmu[-1] *= 0.5
-    legw = np.stack(
-        [(4.0 * i + 1.0) / 2.0 * legendre_even(i, mu) for i in range(nlmax)]
-    )  # (nlmax, nmu)
-    proj = 2.0 * legw * wmu[None, :]
+    mu, proj = nodes_weights(mu, wmu)
+    # Gauss–Legendre quadrature — the f32 PRODUCTION path.  The µ integrand
+    # is C² (even polynomials of µ' times a cubic spline along k'(k,µ)), so
+    # ~32 GL nodes already sit below the 200-pt trapezoid's own O(h²)
+    # discretization error — and the AP stage's per-eval (nk, nmu, n)
+    # spline/one-hot tensors were 61% of the flagship's HBM traffic at
+    # nmu=200 (53 MB/eval measured by tools/bench_stage_cost.py); GL-32
+    # scales all of it by 32/200.  Exact trapezoid parity is kept for f64
+    # (the reference-gate dtype); end-to-end f32 error stays bounded by the
+    # |Δlogp| < 0.02 bench/test budget.
+    n_gl = int(os.environ.get("EFTPIPE_TPU_AP_GL", "32"))
+    if n_gl > 0:
+        x_gl, w_gl = np.polynomial.legendre.leggauss(n_gl)
+        mu_gl, proj_gl = nodes_weights(0.5 * (x_gl + 1.0), 0.5 * w_gl)
+    else:
+        mu_gl = proj_gl = None
     return dict(
         da_fid=float(da_fid),
         h_fid=float(h_fid),
@@ -77,6 +100,8 @@ def build_ap_tables(
         h_ap=hubble_ap,
         mu=mu,
         proj=proj,
+        mu_gl=mu_gl,
+        proj_gl=proj_gl,
         nlmax=nlmax,
         ap_st=ap_st,
         spline=SplineTable.build(cfg.k),
@@ -98,7 +123,18 @@ def alperp_alpara(at: dict, da, h, rdrag, hubble):
     return qperp * ratio, qpar * ratio
 
 
-def _project(at: dict, plk, kp, leg_mup, dtype):
+def ap_quadrature(at: dict, dtype):
+    """(µ nodes, projection weights) for the evaluation dtype: Gauss–Legendre
+    for float32 (production; ~6x less HBM traffic than the 200-pt trapezoid,
+    accuracy bounded by the end-to-end |Δlogp| budget), the reference's
+    trapezoid for float64 (the parity-gate dtype).  Opt-out:
+    EFTPIPE_TPU_AP_GL=0 at table-build time."""
+    if jnp.dtype(dtype) == jnp.float32 and at.get("mu_gl") is not None:
+        return at["mu_gl"], at["proj_gl"]
+    return at["mu"], at["proj"]
+
+
+def _project(at: dict, proj, plk, kp, leg_mup, dtype):
     """Interpolate multipoles to (k', µ), rebuild P(k,µ), re-project
     (pybird.py:1581-1596) — algebraically contracted into one small
     per-evaluation operator.
@@ -138,10 +174,15 @@ def _project(at: dict, plk, kp, leg_mup, dtype):
         return (jnp.pad(c0[..., None] * oh, pad_r)
                 + jnp.pad(c1[..., None] * oh, pad_l))
 
+    # NOTE a value-first variant (one-hot contracted against stacked knot
+    # values, no pads) was measured SLOWER end-to-end on TPU (10.0k vs
+    # 12.4k evals/s at GL-32): the per-walker batched (nk·nmu, n)×(n, 4c+2)
+    # GEMM and its layout transposes cost more than these pad/select
+    # tensors, which XLA keeps small at nmu = 32.
     wy = seg_weights(u, t)
     wm = seg_weights(h26 * (u * u * u - u), h26 * (t * t * t - t))
 
-    a_w = jnp.asarray(at["proj"], dtype)[:, None, :] * leg_mup[None, :, :]
+    a_w = jnp.asarray(proj, dtype)[:, None, :] * leg_mup[None, :, :]
     ty = jnp.einsum("alm,kmi->alki", a_w, wy)
     tm = jnp.einsum("alm,kmi->alki", a_w, wm)
     t_op = ty + jnp.einsum("alki,ij->alkj", tm, m2)
@@ -154,7 +195,8 @@ def ap_transform(at: dict, cfg: EFTConfig, bird: BirdState, qperp, qpar) -> Bird
     ``qperp``/``qpar`` are traced scalars (single evaluation; vmap for batch).
     """
     dtype = bird.p11l.dtype
-    mu = jnp.asarray(at["mu"], dtype)
+    mu_nodes, proj = ap_quadrature(at, dtype)
+    mu = jnp.asarray(mu_nodes, dtype)
     k = jnp.asarray(at["k"], dtype)
     finv2 = (qperp / qpar) ** 2
     warp = jnp.sqrt(1.0 + mu * mu * (finv2 - 1.0))  # (nmu,)
@@ -172,7 +214,7 @@ def ap_transform(at: dict, cfg: EFTConfig, bird: BirdState, qperp, qpar) -> Bird
         fields.append("pstl")
     sizes = [getattr(bird, f).shape[-2] for f in fields]
     stacked = jnp.concatenate([getattr(bird, f) for f in fields], axis=-2)
-    proj = coef * _project(at, stacked, kp, leg_mup, dtype)
+    projected = coef * _project(at, proj, stacked, kp, leg_mup, dtype)
     splits = np.cumsum(sizes)[:-1]
-    parts = jnp.split(proj, splits, axis=-2)
+    parts = jnp.split(projected, splits, axis=-2)
     return bird._replace(**dict(zip(fields, parts)))

@@ -56,10 +56,36 @@ def _theory_vector(model, theta):
     return png
 
 
+def _force_gauss_mu(model):
+    """Make the f64 pipelines use the f32 production path's Gauss–Legendre
+    µ-quadrature so the multipole comparison isolates dtype ROUNDING (the
+    deliberate GL↔trapezoid quadrature difference is gated separately in
+    test_ap.py and bounded end-to-end by the logp budget below).  Returns an
+    undo callable (the fixture is module-scoped: the logp budget test must
+    see the real production f64 path, trapezoid included)."""
+    saved = []
+    for rt in model.like.runtimes.values():
+        at = rt.spec.pipeline.at
+        if at is not None and at.get("mu_gl") is not None:
+            saved.append((rt.spec.pipeline, at))
+            rt.spec.pipeline.at = {**at, "mu": at["mu_gl"],
+                                   "proj": at["proj_gl"]}
+
+    def undo():
+        for pipe, at in saved:
+            pipe.at = at
+
+    return undo
+
+
 def test_float32_multipole_budget(models):
     m64, m32 = models
     theta = m64.theta0
-    png64 = np.asarray(jax.jit(lambda t: _theory_vector(m64, t))(theta))
+    undo = _force_gauss_mu(m64)
+    try:
+        png64 = np.asarray(jax.jit(lambda t: _theory_vector(m64, t))(theta))
+    finally:
+        undo()
     png32 = np.asarray(jax.jit(lambda t: _theory_vector(m32, t))(theta))
     # relative to the typical multipole magnitude per element (the vector
     # spans P0 ~ 1e4 down to P4 zero-crossings, where a pointwise relative

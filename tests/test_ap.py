@@ -77,6 +77,84 @@ def test_ap_matches_reference(nl, ap_st):
         check(state.pstl, bird.Pstl, "Pstl")
 
 
+def _bird_after_resum(cfg, plin, f, dtype):
+    nt = build_nonlinear_tables(cfg)
+    bt = build_bird_tables(cfg)
+    rt = build_resum_tables(cfg)
+    out = nonlinear_pscf(nt, cfg, jnp.asarray(plin, dtype))
+    state = assemble_bird(bt, cfg, out, jnp.asarray(plin, dtype),
+                          jnp.asarray(f, dtype))
+    return resum_ps(rt, cfg, state, jnp.asarray(plin, dtype))
+
+
+def test_ap_gauss_quadrature_matches_trapezoid():
+    """The f32 production path swaps the reference's 200-pt trapezoid
+    µ-quadrature for Gauss–Legendre nodes (6x less HBM traffic in the AP
+    stage).  Gate the quadrature swap in ISOLATION (float64 bird, GL nodes
+    forced): GL-32 must sit within the trapezoid rule's own discretization
+    error, and GL-32 vs GL-64 must be converged far below that."""
+    import jax
+
+    kin = np.logspace(-5, 0, 200)
+    plin = smooth_positive(kin, seed=31)
+    cfg = EFTConfig(nl=3, no=3)
+    state = _bird_after_resum(cfg, plin, 0.8, jnp.float64)
+    q = (jnp.asarray(1.03), jnp.asarray(0.96))
+
+    at = build_ap_tables(cfg, om_ap=0.31, z_ap=0.7)
+    assert at["mu_gl"] is not None and at["mu_gl"].size == 32
+
+    def with_nodes(mu, proj):
+        forced = dict(at)
+        forced["mu"], forced["proj"] = mu, proj       # f64 path reads these
+        forced["mu_gl"] = forced["proj_gl"] = None
+        return ap_transform(forced, cfg, state, *q)
+
+    trap = with_nodes(at["mu"], at["proj"])            # reference quadrature
+    gl32 = with_nodes(at["mu_gl"], at["proj_gl"])
+    at64 = build_ap_tables(cfg, om_ap=0.31, z_ap=0.7)
+    x, w = np.polynomial.legendre.leggauss(64)
+    import eftpipe_tpu.models.ap as ap_mod
+    legw = np.stack([(4 * i + 1) / 2.0 * ap_mod.legendre_even(i, 0.5 * (x + 1))
+                     for i in range(at["nlmax"])])
+    gl64 = with_nodes(0.5 * (x + 1.0), 2.0 * legw * (0.5 * w)[None, :])
+
+    for name in ("p11l", "pctl", "ploopl"):
+        a, b, c = (np.asarray(getattr(s, name)) for s in (trap, gl32, gl64))
+        scale = np.abs(a).max()
+        # GL-32 is internally converged (vs GL-64) four orders below its
+        # distance to the trapezoid rule — i.e. the trap↔GL difference IS
+        # the 200-pt trapezoid's own O(h²) error (measured ~2.5e-4 of max)
+        assert np.abs(b - c).max() < 3e-8 * scale, name
+        assert np.abs(a - b).max() < 1e-3 * scale, name
+
+
+def test_ap_f32_dispatches_gauss_and_stays_accurate():
+    """float32 evaluation uses the GL nodes (dispatch check) and lands within
+    f32-rounding distance of the float64 trapezoid truth."""
+    kin = np.logspace(-5, 0, 200)
+    plin = smooth_positive(kin, seed=31)
+    cfg = EFTConfig(nl=2, no=2)
+    state64 = _bird_after_resum(cfg, plin, 0.8, jnp.float64)
+    q = (1.03, 0.96)
+
+    at = build_ap_tables(cfg, om_ap=0.31, z_ap=0.7)
+    truth = ap_transform(at, cfg, state64, jnp.asarray(q[0]), jnp.asarray(q[1]))
+
+    import jax
+    state32 = jax.tree.map(lambda x: x.astype(jnp.float32), state64)
+    got = ap_transform(at, cfg, state32,
+                       jnp.asarray(q[0], jnp.float32),
+                       jnp.asarray(q[1], jnp.float32))
+    from eftpipe_tpu.models.ap import ap_quadrature
+    assert ap_quadrature(at, jnp.float32)[0].size == 32
+    assert ap_quadrature(at, jnp.float64)[0].size == at["mu"].size
+
+    for name in ("p11l", "pctl", "ploopl"):
+        a, b = np.asarray(getattr(truth, name)), np.asarray(getattr(got, name))
+        assert np.abs(a - b).max() < 2e-4 * np.abs(a).max(), name
+
+
 def test_ap_params():
     cfg = EFTConfig()
     at = build_ap_tables(cfg, om_ap=0.31, z_ap=0.7)
