@@ -80,14 +80,17 @@ def build_ap_tables(
     mu, proj = nodes_weights(mu, wmu)
     # Gauss–Legendre quadrature — the f32 PRODUCTION path.  The µ integrand
     # is C² (even polynomials of µ' times a cubic spline along k'(k,µ)), so
-    # ~32 GL nodes already sit below the 200-pt trapezoid's own O(h²)
-    # discretization error — and the AP stage's per-eval (nk, nmu, n)
-    # spline/one-hot tensors were 61% of the flagship's HBM traffic at
-    # nmu=200 (53 MB/eval measured by tools/bench_stage_cost.py); GL-32
-    # scales all of it by 32/200.  Exact trapezoid parity is kept for f64
-    # (the reference-gate dtype); end-to-end f32 error stays bounded by the
-    # |Δlogp| < 0.02 bench/test budget.
-    n_gl = int(os.environ.get("EFTPIPE_TPU_AP_GL", "32"))
+    # a handful of GL nodes already sit far below the 200-pt trapezoid's own
+    # O(h²) discretization error (measured on the AP parity bird: GL-16 vs
+    # GL-64 ≤ 2.3e-7 of max, vs the trapezoid's 2.5e-4) — and the AP stage's
+    # per-eval (nk, nmu, n) spline/one-hot tensors were 61% of the
+    # flagship's HBM traffic at nmu=200 (53 MB/eval, measured by
+    # tools/bench_stage_cost.py); GL-16 scales all of it by 16/200
+    # (12382 → 13279 evals/s/chip vs GL-32 on the v5e flagship).  Exact
+    # trapezoid parity is kept for f64 (the reference-gate dtype); the
+    # end-to-end f32 error stays bounded by the |Δlogp| < 0.02 bench/test
+    # budget (measured 0.0108, ~same as GL-32).
+    n_gl = int(os.environ.get("EFTPIPE_TPU_AP_GL", "16"))
     if n_gl > 0:
         x_gl, w_gl = np.polynomial.legendre.leggauss(n_gl)
         mu_gl, proj_gl = nodes_weights(0.5 * (x_gl + 1.0), 0.5 * w_gl)
