@@ -93,9 +93,12 @@ def main() -> None:
 
     workdir = os.environ.get("BENCH_WORKDIR", "bench_assets")
     # 8192 amortizes the axon tunnel's ~28 ms fixed per-dispatch overhead
-    # (measured: 5783 evals/s/chip at 2048 -> 6189 at 8192, chunk 128)
+    # (measured: 5783 evals/s/chip at 2048 -> 6189 at 8192, chunk 128).
+    # chunk re-tuned after the r4 byte cuts (GL-16 AP + low-rank): 32/64/
+    # 96/128/256 -> 14575/15029/14722/13279/12726 evals/s — 64 peaks at
+    # 92% HBM utilization.
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
 
     model = build_flagship(workdir, dtype=dtype)

@@ -48,7 +48,7 @@ def main() -> None:
 
     dtype = jnp.float64 if dtype_flag == "float64" else jnp.float32
     batch = int(os.environ.get("BENCH_BATCH", "2048"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))  # re-tuned r4 (see bench.py)
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     nmax = int(os.environ.get("BENCH_WINDOW_NMAX", "1024"))
     cache = os.environ.get("BENCH_CACHE_DIR", "bench_assets/prod_cache")
