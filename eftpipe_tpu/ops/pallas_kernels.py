@@ -489,7 +489,11 @@ def lowrank_factors(m_fold: np.ndarray, tol: float = 1e-8,
 
 
 def qf_lowrank_xla(w, q, smat):
-    """w: (..., N, S); q: (R, N); smat: (BL, R) → (..., BL, S)."""
+    """w: (..., N, S); q: (R, N); smat: (BL, R) → (..., BL, S).
+
+    NOTE an s-major variant (Y kept (…, S, R) so both GEMMs share its
+    layout) was measured ~2% SLOWER end-to-end on the v5e flagship —
+    XLA's layout assignment already handles the r-major form well."""
     y = jnp.einsum("rn,...ns->...rs", q, w)
     return jnp.einsum("br,...rs->...bs", smat, y * y)
 
