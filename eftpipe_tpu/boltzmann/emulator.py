@@ -18,6 +18,8 @@ runs on the TPU inside the sampling graph):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -314,18 +316,32 @@ class PkEmulator:
     yhe: float | None = None
     meta: dict | None = None               # kmax, n_train, ...
 
-    def raw(self, x):
+    def raw(self, x, cols=None):
+        """Emulated output vector; ``cols`` (a static host-side index array)
+        restricts the prediction to that subset of output columns.  The
+        ridge is linear in its coefficients, so slicing ``coeffs``/``y_mean``
+        BEFORE the dot is algebraically identical per column to slicing the
+        full output — but the (batch, 7489) intermediate (and the downstream
+        (nz, nk) exp/log chains) never materialize.  The hot likelihood path
+        needs only one species at ~4 z-rows (SolverEmulatorProvider._zplan),
+        ~6.5x fewer bytes on the HBM-bound cosmology stage."""
         x = jnp.asarray(x)
+
+        def sl(a):
+            a = np.asarray(a)
+            return a if cols is None else (
+                a[..., cols] if a.ndim == 1 else a[:, cols])
+
         xn = (x - jnp.asarray(self.x_mean, x.dtype)) / jnp.asarray(
             self.x_std, x.dtype)
-        pred = jnp.asarray(self.y_mean, x.dtype) + _poly_design(
-            xn, self.degree) @ jnp.asarray(self.coeffs, x.dtype)
+        pred = jnp.asarray(sl(self.y_mean), x.dtype) + _poly_design(
+            xn, self.degree) @ jnp.asarray(sl(self.coeffs), x.dtype)
         if self.coeffs_in is None:
             return pred
         xi = (x - jnp.asarray(self.x_mean_in, x.dtype)) / jnp.asarray(
             self.x_std_in, x.dtype)
-        pred_in = jnp.asarray(self.y_mean_in, x.dtype) + _poly_design(
-            xi, self.degree_in) @ jnp.asarray(self.coeffs_in, x.dtype)
+        pred_in = jnp.asarray(sl(self.y_mean_in), x.dtype) + _poly_design(
+            xi, self.degree_in) @ jnp.asarray(sl(self.coeffs_in), x.dtype)
         lo = jnp.asarray(self.blend_lo, x.dtype)
         hi = jnp.asarray(self.blend_hi, x.dtype)
         m = jnp.asarray(self.blend_margin, x.dtype)
@@ -728,7 +744,98 @@ class SolverEmulatorProvider:
         return e_of_z(jnp.asarray(z)), chi / (1.0 + z)
 
     # -- provider interface ---------------------------------------------------
+    def _zplan(self):
+        """Static (host-side) plan for the hot likelihood path: which
+        emulator OUTPUT COLUMNS ``inputs()`` actually consumes, plus the
+        z-blend weights.  The zeff z-interpolation needs log T at rows
+        {i0, i0+1}; the growth rate f = dln sigma8/dln a at zeff needs the
+        jnp.gradient stencils of those two rows (central interior, one-sided
+        at the grid edges, clamped-interp semantics of _zinterp).  The ridge
+        is linear, so PkEmulator.raw(cols=...) slices the coefficient matrix
+        before the dot — exact per column — and the (nz, nk) full-grid
+        tensors never materialize (~6.5x fewer cosmology-stage bytes on the
+        HBM-bound flagship; opt-out EFTPIPE_TPU_EMU_SLICE=0)."""
+        if getattr(self, "_plan", None) is not None:
+            return self._plan
+        emu = self.emulator
+        nz, nk = len(emu.z_grid), len(emu.kgrid)
+        lna_g = np.log(1.0 / (1.0 + np.asarray(emu.z_grid, np.float64)))
+        dl = lna_g[1] - lna_g[0]
+        w = (np.log(1.0 / (1.0 + self.zeff)) - lna_g[0]) / dl
+        # the lpk z-blend (possibly extrapolating, matching the legacy code)
+        i0 = int(np.clip(np.floor(w), 0, nz - 2))
+        ww = float(w - i0)
+
+        def grad_stencil(i):
+            # jnp.gradient on the uniform lna grid, / dl
+            if i == 0:
+                return {0: -1.0 / dl, 1: 1.0 / dl}
+            if i == nz - 1:
+                return {nz - 2: -1.0 / dl, nz - 1: 1.0 / dl}
+            return {i - 1: -0.5 / dl, i + 1: 0.5 / dl}
+
+        # f at zeff: jnp.interp CLAMPS outside the grid (unlike the lpk blend)
+        fcoef: dict = {}
+        if w <= 0.0:
+            pieces = [(grad_stencil(0), 1.0)]
+        elif w >= nz - 1:
+            pieces = [(grad_stencil(nz - 1), 1.0)]
+        else:
+            pieces = [(grad_stencil(i0), 1.0 - ww), (grad_stencil(i0 + 1), ww)]
+        for st, c in pieces:
+            for j, g in st.items():
+                fcoef[j] = fcoef.get(j, 0.0) + c * g
+        rows = sorted(set(fcoef) | {i0, i0 + 1})
+        fvec = np.array([fcoef.get(j, 0.0) for j in rows])
+        off = nz * nk if self.use_cb else 0
+        cols = (off + np.asarray(rows)[:, None] * nk
+                + np.arange(nk)[None, :]).ravel()
+        # O(1)-lookup linear interp of log P onto cfg.kin (the h-dependent
+        # query grid): jnp.interp's searchsorted was 5.5 MB of HBM per eval
+        from ..ops.interp import LinearLUT
+
+        lut = LinearLUT.build(np.log(np.asarray(emu.kgrid, np.float64)))
+        self._plan = (rows, fvec, rows.index(i0), rows.index(i0 + 1), ww,
+                      cols, lut)
+        return self._plan
+
     def inputs(self, params) -> CosmoInputs:
+        if os.environ.get("EFTPIPE_TPU_EMU_SLICE", "1") == "0":
+            return self._inputs_full(params)
+        emu = self.emulator
+        rows, fvec, ri0, ri1, ww, cols, lut = self._zplan()
+        lo, hi = emu.box()
+        x = jnp.clip(self._x(params), jnp.asarray(lo), jnp.asarray(hi))
+        log_t = emu.raw(x, cols=cols).reshape(len(rows), len(emu.kgrid))
+        k = jnp.asarray(emu.kgrid)
+        as_ = 1e-10 * jnp.exp(params["ln10As"])
+        pzeta = 2.0 * jnp.pi**2 / k**3 * as_ * (k / 0.05) ** (params["ns"] - 1.0)
+        pk = pzeta[None, :] * jnp.exp(2.0 * log_t)        # (nsel, nk) Mpc^3
+        # z interpolation of log P (linear in ln a; same blend as legacy)
+        lpk = jnp.log(pk)
+        lpk_z = lpk[ri0] * (1 - ww) + lpk[ri1] * ww
+        h = params["h"]
+        kin_mpc = jnp.asarray(self.cfg.kin) * h
+        plin = jnp.exp(lut.interp(jnp.log(kin_mpc), lpk_z)) * h**3
+        # growth f(zeff) = the clamped-interp of gradient(log sigma8)/dl,
+        # contracted to one static stencil over the selected rows
+        r8 = 8.0 / h
+        xk = k * r8
+        wth = 3.0 * (jnp.sin(xk) - xk * jnp.cos(xk)) / xk**3
+        integ = k[None, :] ** 3 * pk * (wth * wth)[None, :] / (2.0 * jnp.pi**2)
+        ls8 = jnp.log(jnp.sqrt(jnp.trapezoid(integ, jnp.log(k), axis=-1)))
+        f = ls8 @ jnp.asarray(fvec, ls8.dtype)
+        if self.use_ap and self.da_fid is not None:
+            e, da = self._background(params)
+            qperp = da / self.da_fid
+            qpar = self.h_fid / e
+        else:
+            qperp = qpar = 1.0
+        return CosmoInputs(plin=plin, f=f, qperp=qperp, qpar=qpar)
+
+    def _inputs_full(self, params) -> CosmoInputs:
+        """Legacy full-grid path (computes all nz z-rows of both species);
+        kept as the EFTPIPE_TPU_EMU_SLICE=0 reference for A/B parity."""
         k, pk_m, pk_cb, _ = self._eval(params)
         pk = pk_cb if self.use_cb else pk_m
         lna_grid = jnp.log(1.0 / (1.0 + jnp.asarray(self.emulator.z_grid)))
