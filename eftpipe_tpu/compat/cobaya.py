@@ -122,12 +122,17 @@ def _convert_params(params: Mapping[str, Any]) -> dict:
             # latex-only: a Cobaya derived parameter — not sampled here
             continue
     # keep lambda-valued ("derived input") params whose arguments survive the
-    # conversion — e.g. the production configs' c2/c4 -> b2/b4 mapping; drop
-    # those referencing renamed/derived-only names (e.g. As(logA))
+    # conversion — e.g. the production configs' c2/c4 -> b2/b4 mapping.
+    # Arguments that name a RENAMED cosmology param (the production yamls'
+    # ``As: 'lambda logA: 1e-10*np.exp(logA)'``) are rewritten to the
+    # converted name: logA→ln10As is value-preserving, H0 becomes 100*h
+    # (VERDICT r4 item 7 — dropping these loses a derived column the
+    # reference chains always carry).
     import inspect
 
     for name, expr in lambdas.items():
         try:
+            expr = _rename_lambda_args(expr)
             import numpy as _np
 
             fn = eval(expr, {"np": _np})  # noqa: S307 — config-supplied
@@ -143,6 +148,51 @@ def _convert_params(params: Mapping[str, Any]) -> dict:
                 " available after conversion)"
             )
     return out
+
+
+def _rename_lambda_args(expr: str) -> str:
+    """Rewrite a Cobaya lambda string's argument names through the standard
+    cosmology renames so the lambda stays evaluable after conversion.
+
+    ``lambda logA: 1e-10*np.exp(logA)`` → ``lambda ln10As: ...(ln10As)``
+    (logA ≡ ln(10¹⁰ As) ≡ ln10As, so the rename is value-preserving);
+    an ``H0`` argument becomes ``h`` with every use replaced by ``100 * h``.
+    Non-lambda strings and lambdas without renamed args pass through
+    unchanged."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    if not isinstance(tree.body, ast.Lambda):
+        return expr
+    lam = tree.body
+    subst: dict[str, ast.expr] = {}
+    changed = False
+    for arg in lam.args.args:
+        old = arg.arg
+        if old == "H0":
+            arg.arg = "h"
+            subst[old] = ast.BinOp(
+                left=ast.Constant(100.0), op=ast.Mult(),
+                right=ast.Name(id="h", ctx=ast.Load()),
+            )
+            changed = True
+        elif old in COSMO_RENAMES:
+            new = COSMO_RENAMES[old]
+            arg.arg = new
+            subst[old] = ast.Name(id=new, ctx=ast.Load())
+            changed = True
+    if not changed:
+        return expr
+
+    class _Sub(ast.NodeTransformer):
+        def visit_Name(self, node):
+            if isinstance(node.ctx, ast.Load) and node.id in subst:
+                return ast.copy_location(
+                    copy.deepcopy(subst[node.id]), node)
+            return node
+
+    lam.body = ast.fix_missing_locations(_Sub().visit(lam.body))
+    return ast.unparse(tree)
 
 
 def convert_cobaya_config(src, data_root=None, boltzmann: Mapping | None = None,

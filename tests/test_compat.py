@@ -50,8 +50,11 @@ def test_convert_mixed_yaml_structure():
     assert params["ln10As"]["ref"] == pytest.approx(3.0513)
     assert params["ns"] == pytest.approx(0.9611)
     assert params["LRG_NGC_b1"]["prior"] == {"min": 0.0, "max": 4.0}
-    # derived/lambda params dropped
-    assert "As" not in params and "sigma8" not in params
+    # lambda params over RENAMED inputs survive with the args rewritten
+    # (VERDICT r4 item 7: As(logA) must become As(ln10As), not be dropped)
+    assert params["As"] == {"value": "lambda ln10As: 1e-10 * np.exp(ln10As)"}
+    # latex-only derived params (no value) are still dropped
+    assert "sigma8" not in params
 
 
 def test_convert_cross_yaml_structure():

@@ -33,6 +33,15 @@ def test_production_config_converts_with_two_blocks():
     assert tracers["X_NGC"]["cross"] == ["LRG_NGC", "ELG_NGC"]
     assert tracers["default"]["with_APeffect"]["rdrag_AP"] == 147.66
     assert Path(tracers["LRG_NGC"]["with_window"]["window_configspace_file"]).exists()
+    # the production yaml's derived As rides the logA->ln10As rename
+    # (reference yaml line 171-172: As: 'lambda logA: 1e-10*np.exp(logA)')
+    from eftpipe_tpu.api.orchestrate import ParamSpace
+
+    space = ParamSpace.from_config(info["params"])
+    assert "As" in space.computed
+    vals = space.to_dict(np.asarray(space.theta0(), np.float64))
+    assert float(vals["As"]) == pytest.approx(
+        1e-10 * np.exp(float(vals["ln10As"])), rel=1e-12)
 
 
 @pytest.mark.slow
