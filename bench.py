@@ -32,10 +32,14 @@ import numpy as np
 
 LOGP_ABS_BUDGET = 0.02  # tightened from 0.05 (r3 measured 0.0119 on TPU)
 _ACC_BATCH = 16
+# the accuracy gate runs over several DISTINCT seeds: the r4 driver measured
+# a ~1.7x seed-to-seed spread (0.0108 vs 0.0179), so one lucky batch must not
+# be able to green the budget (VERDICT r4 item 4)
+_ACC_SEEDS = (0, 1, 2, 3)
 
 
-def _make_batches(theta0, batch, n, dtype, jnp):
-    rng = np.random.default_rng(0)
+def _make_batches(theta0, batch, n, dtype, jnp, seed: int = 0):
+    rng = np.random.default_rng(seed)
     return [
         jnp.asarray(
             theta0[None, :] * (1.0 + 1e-3 * rng.standard_normal((batch, theta0.size))),
@@ -45,8 +49,17 @@ def _make_batches(theta0, batch, n, dtype, jnp):
     ]
 
 
+def _accuracy_batch(theta0, dtype, jnp):
+    """One stacked (len(_ACC_SEEDS)·_ACC_BATCH, ndim) batch, seeds 0..3."""
+    parts = [
+        _make_batches(theta0, _ACC_BATCH, 1, dtype, jnp, seed=s)[0]
+        for s in _ACC_SEEDS
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _accuracy_ref() -> None:
-    """Subprocess mode: print the float64 CPU logp for the seeded batch."""
+    """Subprocess mode: print the float64 CPU logp for the seeded batches."""
     import jax
 
     if os.environ.get("JAX_PLATFORMS"):
@@ -58,8 +71,7 @@ def _accuracy_ref() -> None:
 
     workdir = os.environ.get("BENCH_WORKDIR", "bench_assets")
     model = build_flagship(workdir, dtype=jnp.float64)
-    thetas = _make_batches(model.theta0.astype(np.float64), _ACC_BATCH, 1,
-                           jnp.float64, jnp)[0]
+    thetas = _accuracy_batch(model.theta0.astype(np.float64), jnp.float64, jnp)
     out = jax.jit(jax.vmap(model.logp))(thetas)
     print(json.dumps([float(x) for x in np.asarray(out)]))
 
@@ -203,6 +215,18 @@ def main() -> None:
             run_timed, pbatch, iters,
         ))
 
+    # ---- production companion (VERDICT r4 item 5: the DR16 number must be
+    # driver-auditable, not a hand-run tool) — the converted DR16 NGC block
+    # (real data, real windows, chained ELG, LRG×ELG cross, Jeffreys,
+    # solver-emulator cosmology) timed in the same process, same rules.
+    # Still before check_finite: no device→host transfer happens in here.
+    if not shard and os.environ.get("BENCH_PRODUCTION", "1") != "0":
+        try:
+            extra.update(_time_production(
+                jax, jnp, dtype, chunk, iters, run_timed))
+        except Exception as exc:  # reference payload absent / build failure
+            extra["production"] = f"skipped ({type(exc).__name__}: {exc})"
+
     check_finite()  # first device→host transfer — after ALL timing
 
     if cost_probe is not None:
@@ -225,6 +249,60 @@ def main() -> None:
         "vs_baseline": round(value / 1.0, 2),
         **extra,
     }))
+
+
+_PROD_YAML = ("/root/reference/cobaya/yamls/DR16_noric_LEX_NS_LP024_"
+              "kmax0.20_EQ02_kmax0.20_XP024_kmax0.20_xnost.yaml")
+
+
+def _build_production(jnp, dtype):
+    """Converted DR16 NGC-block Analysis (the tools/bench_production config:
+    light nmax=1024 windows, solver-emulator cosmology, use_cb)."""
+    from eftpipe_tpu.compat import convert_cobaya_config
+    from eftpipe_tpu.api.orchestrate import Analysis
+
+    info = convert_cobaya_config(
+        _PROD_YAML, data_root="/root/reference/cobaya",
+        boltzmann={"name": "solver_emulator", "use_cb": True,
+                   "om_fid": 0.307115},
+        cache_dir=os.environ.get("BENCH_CACHE_DIR", "bench_assets/prod_cache"),
+    )
+    info["likelihood"] = {"LEX_NGC": info["likelihood"]["LEX_NGC"]}
+    keep = set(info["likelihood"]["LEX_NGC"]["tracers"]) | {"default"}
+    info["theory"]["tracers"] = {
+        t: c for t, c in info["theory"]["tracers"].items() if t in keep
+    }
+    for t, tcfg in info["theory"]["tracers"].items():
+        win = tcfg.get("with_window")
+        if isinstance(win, dict):
+            win.pop("window_fourier_file", None)
+            win["accboost"] = 1
+            win["nmax"] = int(os.environ.get("BENCH_WINDOW_NMAX", "1024"))
+    return Analysis.from_config(info, dtype=dtype)
+
+
+def _time_production(jax, jnp, dtype, chunk, iters, run_timed) -> dict:
+    if not os.path.exists(_PROD_YAML):
+        return {"production": "skipped (reference payload absent)"}
+    from eftpipe_tpu.parallel.mesh import chunked_vmap
+
+    t0 = time.perf_counter()
+    an = _build_production(jnp, dtype)
+    build_s = time.perf_counter() - t0
+    theta0 = np.asarray(an.space.theta0(), np.float64)
+    batch = int(os.environ.get("BENCH_PROD_BATCH", "8192"))
+    pchunk = int(os.environ.get("BENCH_PROD_CHUNK", str(chunk)))
+    fn = jax.jit(chunked_vmap(an.logp, chunk_size=min(pchunk, batch)))
+    batches = _make_batches(theta0, batch, iters + 1, dtype, jnp, seed=1)
+    dt = run_timed(fn, batches)
+    n_dev = max(1, len(jax.devices()))
+    return {
+        "production_evals_per_sec_chip": round(batch * iters / dt / n_dev, 2),
+        "production_us_per_eval": round(dt / (batch * iters / n_dev) * 1e6, 2),
+        "production_ndata": sum(lk.ndata for lk in an.likes.values()),
+        "production_ndim": int(theta0.size),
+        "production_build_s": round(build_s, 1),
+    }
 
 
 # bf16 MXU peak FLOP/s per chip and HBM bandwidth (bytes/s) by device kind.
@@ -254,7 +332,25 @@ def _roofline(jax, cost_probe, evals_per_sec_chip, n_dev) -> dict:
     of the COMPILED benchmark executable (VERDICT r3 item 2: without this,
     round-over-round perf pushes are unfalsifiable).  ``flops`` here is what
     the compiled HLO executes (post-fusion, incl. the bf16x3 triple-pass of
-    'high'-precision f32 matmuls), not an algorithmic count."""
+    'high'-precision f32 matmuls), not an algorithmic count.
+
+    Byte-count methodology (VERDICT r4 item 3): ``cost_analysis()``'s "bytes
+    accessed" counts LOGICAL accesses — every post-fusion op's operands +
+    outputs — which is an UPPER BOUND on DRAM traffic, not a measurement
+    (operands re-read by several fusions, or kept VMEM-resident across the
+    chunk loop, are counted each time).  The r4 run crossed 115% of the v5e's
+    physical bandwidth, proving the bound is not traffic.  We therefore
+    report:
+
+    * ``bytes_per_eval_hlo`` — the logical bound (comparable across rounds);
+    * ``hbm_logical_bound``  — logical-bytes rate / peak bandwidth (may
+      exceed 1; >1 means at least that fraction of the counted bytes never
+      hit DRAM);
+    * ``hbm_util`` — the PHYSICAL utilization implied by the measurement:
+      min(logical bound, 1.0).  When the logical bound saturates (≥ 1) the
+      pipeline is at the HBM roofline and the true utilization is high but
+      not exactly known — ``hbm_bound_saturated`` flags this.
+    """
     fn, example, batch = cost_probe
     try:
         # may compile fresh (the single-chunk probe body); runs after all
@@ -269,23 +365,28 @@ def _roofline(jax, cost_probe, evals_per_sec_chip, n_dev) -> dict:
         return {"roofline": f"unavailable ({type(exc).__name__})"}
     out = {
         "flops_per_eval": round(flops / batch),
-        "bytes_per_eval": round(bytes_acc / batch),
+        "bytes_per_eval_hlo": round(bytes_acc / batch),
         "us_per_eval": round(1e6 / evals_per_sec_chip, 2),
     }
     achieved_flops = flops / batch * evals_per_sec_chip
-    achieved_bw = bytes_acc / batch * evals_per_sec_chip
+    logical_bw = bytes_acc / batch * evals_per_sec_chip
     out["achieved_tflops_per_chip"] = round(achieved_flops / 1e12, 3)
     peaks = _device_peaks(jax)
     if peaks is not None:
         peak_flops, peak_bw = peaks
+        bound = logical_bw / peak_bw
         out["mfu"] = round(achieved_flops / peak_flops, 4)
-        out["hbm_util"] = round(achieved_bw / peak_bw, 4)
+        out["hbm_logical_bound"] = round(bound, 4)
+        out["hbm_util"] = round(min(bound, 1.0), 4)
+        out["hbm_bound_saturated"] = bool(bound >= 1.0)
     return out
 
 
 def _run_accuracy_check(model, jax, jnp, dtype) -> dict:
-    """f32-on-accelerator vs f64-on-CPU logp for a seeded small batch; the
-    reference values come from a subprocess so x64 can be enabled cleanly."""
+    """f32-on-accelerator vs f64-on-CPU logp over ``len(_ACC_SEEDS)`` seeded
+    batches (the budget gates the max over ALL seeds — one lucky batch can't
+    green the gate); the reference values come from a subprocess so x64 can
+    be enabled cleanly."""
     import jax.numpy as _jnp
 
     env = dict(os.environ)
@@ -298,10 +399,11 @@ def _run_accuracy_check(model, jax, jnp, dtype) -> dict:
         ref = np.asarray(json.loads(res.stdout.strip().splitlines()[-1]))
     except Exception as exc:  # pragma: no cover — diagnostics only
         return {"accuracy_check": f"skipped ({type(exc).__name__})"}
-    thetas = _make_batches(model.theta0.astype(np.float64), _ACC_BATCH, 1,
-                           dtype, jnp)[0]
+    thetas = _accuracy_batch(model.theta0.astype(np.float64), dtype, jnp)
     got = np.asarray(jax.jit(jax.vmap(model.logp))(thetas), np.float64)
-    return {"logp_max_abs_err": round(float(np.abs(got - ref).max()), 6),
+    err = np.abs(got - ref).reshape(len(_ACC_SEEDS), _ACC_BATCH)
+    return {"logp_max_abs_err": round(float(err.max()), 6),
+            "logp_err_by_seed": [round(float(e), 6) for e in err.max(axis=1)],
             "logp_abs_budget": LOGP_ABS_BUDGET}
 
 

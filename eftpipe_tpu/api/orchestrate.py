@@ -812,7 +812,26 @@ class Analysis:
         names = basis.non_gaussian_params() + basis.gaussian_params()
         return {n: full.get(n, 0.0) for n in names}
 
-    # -- derived parameters (reference theory.py:611-648, likelihood.py:587-612)
+    # -- derived parameters (reference theory.py:611-648, likelihood.py:587-615)
+    def _marg_columns(self) -> list[tuple[str, str, int]]:
+        """(column, block, row) for every analytically-marginalized parameter:
+        the reference publishes their conditional bestfit values as
+        ``marg_<param>`` derived chain columns (likelihood.py:590-593 with
+        marg_param_prefix='marg_', eftlike.yaml:2) — getdist scripts plot
+        e.g. ``marg_LRG_NGC_b3`` straight from the chain."""
+        cols: list[tuple[str, str, int]] = []
+        seen: dict[str, int] = {}
+        for bn, lk in self.likes.items():
+            if lk.marginal is None:
+                continue
+            for p, row in sorted(lk._bg_index.items(), key=lambda kv: kv[1]):
+                name = f"marg_{p}"
+                if name in seen:   # same param marginalized in two blocks
+                    name = f"marg_{bn}_{p}"
+                seen[name] = 1
+                cols.append((name, bn, row))
+        return cols
+
     def derived_names(self) -> list[str]:
         names = []
         for t, prov in self.providers.items():
@@ -824,6 +843,12 @@ class Analysis:
                 names.append(f"{t}_emu_in_box")
         if self.likes:
             names += ["chi2", "fullchi2"]
+            if len(self.likes) > 1:
+                # per-likelihood chi2 columns, the reference's
+                # ``<like>_chi2`` / ``<like>_fullchi2`` (likelihood.py:588-589)
+                for bn in self.likes:
+                    names += [f"{bn}_chi2", f"{bn}_fullchi2"]
+            names += [c for c, _, _ in self._marg_columns()]
         return names
 
     def derived(self, theta):
@@ -848,6 +873,12 @@ class Analysis:
         if self.likes:
             res = self.loglike(theta)
             vals += [res["chi2"], res["fullchi2"]]
+            if len(self.likes) > 1:
+                for bn in self.likes:
+                    vals += [res["blocks"][bn]["chi2"],
+                             res["blocks"][bn]["fullchi2"]]
+            for _, bn, row in self._marg_columns():
+                vals.append(res["blocks"][bn]["bg_bestfit"][row])
         return jnp.stack(vals)
 
     # -- sampling ----------------------------------------------------------

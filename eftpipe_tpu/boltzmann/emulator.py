@@ -802,6 +802,12 @@ class SolverEmulatorProvider:
     def inputs(self, params) -> CosmoInputs:
         if os.environ.get("EFTPIPE_TPU_EMU_SLICE", "1") == "0":
             return self._inputs_full(params)
+        from ..ops.precision import stage_precision
+
+        with stage_precision("emu"):
+            return self._inputs_sliced(params)
+
+    def _inputs_sliced(self, params) -> CosmoInputs:
         emu = self.emulator
         rows, fvec, ri0, ri1, ww, cols, lut = self._zplan()
         lo, hi = emu.box()

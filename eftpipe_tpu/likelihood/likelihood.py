@@ -339,6 +339,12 @@ class EFTLikelihood:
 
     def logp(self, inputs: Mapping[str, CosmoInputs], params: Mapping) -> dict:
         """Log-posterior + derived quantities (likelihood.py:570-594)."""
+        from ..ops.precision import stage_precision
+
+        with stage_precision("like"):
+            return self._logp(inputs, params)
+
+    def _logp(self, inputs: Mapping[str, CosmoInputs], params: Mapping) -> dict:
         png, pg = self.png_and_pg(inputs, params)
         data = jnp.asarray(self.data_vector, png.dtype)
         invcov = jnp.asarray(self.invcov, png.dtype)

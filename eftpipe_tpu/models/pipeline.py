@@ -24,6 +24,7 @@ from .window import build_window_tables, apply_window, build_window_matrix_table
 from .icc import build_icc_tables
 from .fiber import build_fiber_tables, apply_fiber
 from .transforms import build_binning_matrix, apply_binning, apply_chained
+from ..ops.precision import stage_precision
 
 
 class CosmoInputs(NamedTuple):
@@ -134,7 +135,7 @@ class TracerPipeline:
         plin = inputs.plin
         f = inputs.f if self.with_rsd else jnp.zeros_like(jnp.asarray(inputs.f))
         snaps: dict[str, BirdState] = {}
-        with jax.named_scope("nonlinear"):
+        with jax.named_scope("nonlinear"), stage_precision("nonlinear"):
             if self.frozen is not None:
                 dtype = jnp.asarray(plin).dtype
                 out = {k: jnp.asarray(v, dtype) for k, v in self.frozen["nl_out"].items()}
@@ -146,19 +147,19 @@ class TracerPipeline:
             return bird
         if self.rt is not None:
             xpyp = self.frozen.get("xpyp") if self.frozen is not None else None
-            with jax.named_scope("IRresum"):
+            with jax.named_scope("IRresum"), stage_precision("IRresum"):
                 bird = resum_ps(self.rt, cfg, bird, plin, xpyp=xpyp)
             snaps["IRresum"] = bird
         if stop_after == "IRresum":
             return bird
         if self.at is not None:
-            with jax.named_scope("APeffect"):
+            with jax.named_scope("APeffect"), stage_precision("APeffect"):
                 bird = ap_transform(self.at, cfg, bird, inputs.qperp, inputs.qpar)
             snaps["APeffect"] = bird
         if stop_after == "APeffect":
             return bird
         if self.wt is not None:
-            with jax.named_scope("window"):
+            with jax.named_scope("window"), stage_precision("window"):
                 bird = apply_window(self.wt, cfg, bird)
             snaps["window"] = bird
         if stop_after == "window":
@@ -170,7 +171,7 @@ class TracerPipeline:
         if stop_after == "window_matrix":
             return bird
         if self.ft is not None:
-            with jax.named_scope("fiber"):
+            with jax.named_scope("fiber"), stage_precision("fiber"):
                 bird = apply_fiber(self.ft, cfg, bird)
             snaps["fiber"] = bird
         if with_snapshots:
@@ -194,7 +195,8 @@ class TracerPipeline:
         cfg = self.cfg
         out = bird
         if binning is not None:
-            out = apply_binning(binning, out)
+            with stage_precision("binning"):
+                out = apply_binning(binning, out)
             kret = binning["keff"]
         else:
             kret = cfg.k

@@ -125,7 +125,9 @@ class LinearLUT:
             fp, jnp.broadcast_to(i - 1, fp.shape[:-1] + i.shape), axis=-1)
         f1 = jnp.take_along_axis(
             fp, jnp.broadcast_to(i, fp.shape[:-1] + i.shape), axis=-1)
-        out = f0 + (q - x0) * ((f1 - f0) / dx)
+        # same association as jnp.interp (f0 + (delta/dx)*df) so the result
+        # is BITWISE equal, not just ulp-close (gated by the fuzz test)
+        out = f0 + ((q - x0) / dx) * (f1 - f0)
         out = jnp.where(q <= xp[0], fp[..., :1], out)
         out = jnp.where(q >= xp[-1], fp[..., -1:], out)
         return out

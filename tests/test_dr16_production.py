@@ -128,6 +128,20 @@ def test_production_both_blocks_on_boltzmann_emulator(tmp_path):
     logp_emu = float(res["logp"])
     chi2 = float(res["fullchi2"])
     ndata = sum(lk.ndata for lk in an.likes.values())
+
+    # reference-parity derived columns (likelihood.py:588-593): per-likelihood
+    # chi2/fullchi2 plus the marg_* conditional bestfits for BOTH blocks
+    dnames = an.derived_names()
+    for bn in ("LEX_NGC", "LEX_SGC"):
+        assert f"{bn}_chi2" in dnames and f"{bn}_fullchi2" in dnames
+    assert "marg_LRG_NGC_b3" in dnames and "marg_LRG_SGC_b3" in dnames
+    dvals = np.asarray(jax.jit(an.derived)(theta0))
+    assert dvals.shape == (len(dnames),)
+    np.testing.assert_allclose(
+        dvals[dnames.index("LEX_NGC_fullchi2")]
+        + dvals[dnames.index("LEX_SGC_fullchi2")],
+        dvals[dnames.index("fullchi2")], rtol=1e-10)
+    assert np.isfinite(dvals[dnames.index("marg_LRG_NGC_b3")])
     assert np.isfinite(logp_emu) and np.isfinite(chi2)
     # at the production reference point (not the bestfit) with the
     # analytically-marginalized nuisances at their conditional optimum, the

@@ -239,6 +239,55 @@ def test_gaussian_table_matches_autodiff(analysis):
                                rtol=1e-8, atol=1e-10)
 
 
+def test_marg_bestfit_derived_columns(analysis):
+    """The analytically-marginalized parameters' conditional bestfit values
+    are published as ``marg_<param>`` derived chain columns (reference
+    likelihood.py:590-593 with marg_param_prefix='marg_'), and equal
+    F2⁻¹F1 recomputed independently in float64 numpy at a fixed point."""
+    names = analysis.derived_names()
+    marg_cols = [n for n in names if n.startswith("marg_")]
+    assert marg_cols == ["marg_LRG_b3", "marg_LRG_cct", "marg_ELG_b3"]
+
+    # shift away from truth so the conditional bestfit is O(1), not noise
+    theta0 = jnp.asarray(analysis.space.theta0() * np.array([1.1, 1.05, 0.95]))
+    vals = np.asarray(jax.jit(analysis.derived)(theta0))
+    got = {n: vals[names.index(n)] for n in marg_cols}
+
+    # independent F2/F1 from the pg/png tables and the prior, plain numpy
+    lk = analysis.like
+    params = analysis.params_dict(theta0)
+    inputs = analysis._inputs(params, list(lk.runtimes))
+    png, pg = lk.png_and_pg(inputs, params)
+    png = np.asarray(png, np.float64)
+    pg = np.asarray(pg, np.float64)
+    mu, sigma_inv = lk.marginal.mu_sigma_inv(params)
+    mu = np.asarray(mu, np.float64)
+    sigma_inv = np.asarray(sigma_inv, np.float64)
+    res = png - lk.data_vector
+    pgc = pg @ lk.invcov
+    f2 = pgc @ pg.T + sigma_inv
+    f1 = -pgc @ res + sigma_inv @ mu
+    bg = np.linalg.solve(f2, f1)
+    for p, want in zip(lk.marginal.names, bg):
+        np.testing.assert_allclose(got[f"marg_{p}"], want, rtol=1e-5,
+                                   err_msg=p)
+    # the bestfit is the conditional optimum: nudging any bG away from it
+    # increases chi2 + prior penalty
+    def penalized_chi2(bgv):
+        r = bgv @ pg + png - lk.data_vector
+        return r @ lk.invcov @ r + (bgv - mu) @ sigma_inv @ (bgv - mu)
+
+    c0 = penalized_chi2(bg)
+    for i in range(bg.size):
+        e = np.zeros_like(bg)
+        e[i] = 0.1
+        assert penalized_chi2(bg + e) > c0
+
+    # global chi2 columns ride along unchanged
+    assert "chi2" in names and "fullchi2" in names
+    assert np.isfinite(vals[names.index("chi2")])
+
+
 def test_computed_params():
     """Cobaya-style lambda-valued ('derived input') params evaluate inside
     the parameter dict — the production configs' c2/c4 -> b2/b4 mapping."""

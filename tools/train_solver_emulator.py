@@ -39,13 +39,17 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BOUNDS = {
-    # wide box: many tens of posterior sigmas around DR16 in every direction
-    # (the production priors are wider still — omega_cdm to 0.7, H0 to 100 —
-    # the provider rejects proposals outside this box with logp = -inf and
-    # Analysis.from_config warns when sampled priors exceed it)
+    # wide box: covers the FULL production priors (VERDICT r4 item 2 /
+    # missing #3 — the DR16 yamls sample omega_cdm in [0.03, 0.7] and h in
+    # [0.4, 1.0]; the reference's CLASS backend evaluates any prior point,
+    # boltzmann.py:191-243, so the emulator box must too).  omega_b's
+    # production prior is the BBN gaussian loc 0.02237 sigma 0.00037 —
+    # ±5 sigma sits well inside (0.017, 0.029).  Out-of-box proposals are
+    # still rejected with logp = -inf; with this box that can only happen
+    # for priors wider than the production ones.
     "omega_b": (0.017, 0.029),
-    "omega_cdm": (0.05, 0.30),
-    "h": (0.50, 0.90),
+    "omega_cdm": (0.03, 0.70),
+    "h": (0.40, 1.00),
 }
 INNER_BOUNDS = {
     # dense region around the DR16 posterior (the round-2 box)
