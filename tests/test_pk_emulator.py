@@ -130,6 +130,40 @@ def test_provider_rejects_out_of_box(provider):
     assert float(legacy.validity_logp(params)) == 0.0
 
 
+@pytest.mark.parametrize("use_cb", [False, True])
+@pytest.mark.parametrize("zeff", [ZEFF, 1.4])
+def test_sliced_inputs_match_full_path(emulator, use_cb, zeff):
+    """ADVICE r4: the sliced emulator path (EFTPIPE_TPU_EMU_SLICE=1, the
+    production default — PkEmulator.raw(cols=...) slices the ridge so only
+    the z-rows the zeff blend and the f stencil touch are evaluated) must
+    reproduce the retained full-grid reference ``_inputs_full`` exactly.
+    Covered: zeff inside the z grid and extrapolating past it (z=1.4 >
+    z_grid max 1.05 — the lpk blend extrapolates while the f stencil
+    clamps), use_cb on/off, the committed blend artifact, jit and vmap.
+    float64 (the suite conftest): agreement is algebraic, not approximate."""
+    cfg = EFTConfig(nl=3, no=3)
+    prov = SolverEmulatorProvider(cfg=cfg, zeff=zeff, emulator=emulator,
+                                  use_cb=use_cb)
+    for x in HELD_OUT:
+        params = {k: jnp.asarray(v, jnp.float64)
+                  for k, v in {**x, "ln10As": 3.044, "ns": 0.9649}.items()}
+        a = jax.jit(prov._inputs_sliced)(params)
+        b = jax.jit(prov._inputs_full)(params)
+        rel = np.abs(np.asarray(a.plin) / np.asarray(b.plin) - 1.0)
+        assert rel.max() < 1e-10, f"plin mismatch {rel.max():.2e} at {x}"
+        assert abs(float(a.f) - float(b.f)) < 1e-10
+        assert float(a.qperp) == float(b.qperp)
+        assert float(a.qpar) == float(b.qpar)
+    # vmapped parity over a batch (the production usage)
+    batch = {k: jnp.asarray([v, v * 1.01])
+             for k, v in {**HELD_OUT[0], "ln10As": 3.044,
+                          "ns": 0.9649}.items()}
+    pa = jax.jit(jax.vmap(lambda p: prov._inputs_sliced(p).plin))(batch)
+    pb = jax.jit(jax.vmap(lambda p: prov._inputs_full(p).plin))(batch)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-10, atol=0)
+
+
 def test_artifact_metadata_and_validation(emulator, provider):
     """The artifact stamps its training box and neutrino setup; load-time
     validation rejects a mismatched request (reference classynu handles any
