@@ -790,11 +790,12 @@ class SolverEmulatorProvider:
         off = nz * nk if self.use_cb else 0
         cols = (off + np.asarray(rows)[:, None] * nk
                 + np.arange(nk)[None, :]).ravel()
-        # O(1)-lookup linear interp of log P onto cfg.kin (the h-dependent
+        # one-hot-matmul linear interp of log P onto cfg.kin (the h-dependent
         # query grid): jnp.interp's searchsorted was 5.5 MB of HBM per eval
-        from ..ops.interp import LinearLUT
+        # and a uniform-LUT gather 7.6 MB; the matmul form is 0.035 MB
+        from ..ops.interp import MatmulInterp
 
-        lut = LinearLUT.build(np.log(np.asarray(emu.kgrid, np.float64)))
+        lut = MatmulInterp.build(np.log(np.asarray(emu.kgrid, np.float64)))
         self._plan = (rows, fvec, rows.index(i0), rows.index(i0 + 1), ww,
                       cols, lut)
         return self._plan

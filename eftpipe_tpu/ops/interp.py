@@ -64,73 +64,64 @@ def _notaknot_second_derivative_matrix(x: np.ndarray) -> np.ndarray:
 
 
 @dataclass(frozen=True)
-class LinearLUT:
-    """Host-precomputed uniform lookup table for ``jnp.interp`` on a FIXED
-    sorted grid with traced queries.
+class MatmulInterp:
+    """``jnp.interp`` on a FIXED sorted grid with traced queries, with the
+    segment gathers recast as one-hot contractions.
 
-    ``jnp.interp``'s searchsorted lowers very poorly on TPU — on the
-    flagship's cosmology stage the 200-query resample of log P(k) onto
-    ``cfg.kin`` was 5.5 MB of HBM traffic per eval, ~70% of the whole
-    stage.  A uniform LUT reduces the segment search to one ``floor`` plus
-    two bounded gather corrections: the LUT cell width is at most the
-    smallest grid gap, so the candidate index from the cell's left edge is
-    off by at most one knot (plus one more for the conservative -1 cell
-    shift that absorbs float rounding in the cell computation).  The result
-    index is EXACTLY ``searchsorted(xp, q, side='right')`` and the value
-    formula matches ``jnp.interp`` (including endpoint clamping).
+    Gathers lower very poorly on TPU when both operand and indices are
+    batched: the vmapped 200-query resample of log P(k) onto ``cfg.kin``
+    cost 5.5 MB of HBM traffic per eval as ``jnp.interp`` and 7.6 MB as a
+    uniform-LUT gather, vs **0.035 MB** in this form (measured on v5e,
+    chunk 64) — XLA fuses the comparison mask straight into a small matmul
+    that rides the MXU (~0.7 MFLOP, noise on a bandwidth-bound pipeline).
+
+    One-hot matmuls are numerically EXACT (each output is 0·x sums plus one
+    1·x term, and a bf16x3 split already carries all 24 f32 mantissa bits),
+    so the result is BITWISE equal to ``jnp.interp`` — same segment choice
+    (``searchsorted(xp, q, 'right')``), same value association, same
+    endpoint clamping; gated by the fuzz test.  Precision is pinned to
+    HIGHEST explicitly so exactness cannot depend on the session's default
+    (a single-pass bf16 matmul WOULD truncate the data values).
     """
 
     xp: np.ndarray       # (n,) sorted grid
-    lut: np.ndarray      # (m,) int32: searchsorted(xp, edge_c, 'right')
-    lo: float
-    du: float
 
     @classmethod
-    def build(cls, xp, max_cells: int = 1 << 20) -> "LinearLUT":
+    def build(cls, xp) -> "MatmulInterp":
         xp = np.asarray(xp, np.float64)
-        d = np.diff(xp)
-        if not np.all(d > 0):
-            raise ValueError("LinearLUT needs a strictly increasing grid")
-        span = xp[-1] - xp[0]
-        m = int(np.ceil(span / d.min())) + 1
-        if m > max_cells:
-            raise ValueError(
-                f"grid needs {m} LUT cells (> {max_cells}); min gap too small")
-        du = span / m
-        edges = xp[0] + du * np.arange(m)
-        lut = np.searchsorted(xp, edges, side="right").astype(np.int32)
-        return cls(xp=xp, lut=lut, lo=float(xp[0]), du=float(du))
+        if not np.all(np.diff(xp) > 0):
+            raise ValueError("MatmulInterp needs a strictly increasing grid")
+        return cls(xp=xp)
 
     def interp(self, q, fp):
-        """``jnp.interp(q, self.xp, fp)`` with O(1) segment lookup.
+        """``jnp.interp(q, self.xp, fp)``, bitwise.
 
         q : (...,) traced query points; fp : (..., n) traced data values
         (leading axes broadcast).  Clamps to the endpoint values outside
         the grid, like ``jnp.interp`` with default left/right.
         """
+        import jax
+
         xp = jnp.asarray(self.xp, q.dtype)
         n = self.xp.size
-        # +inf sentinel so the correction steps never push i past n
-        xp_ext = jnp.concatenate([xp, jnp.full((1,), jnp.inf, q.dtype)])
-        c = jnp.clip(
-            jnp.floor((q - self.lo) / self.du).astype(jnp.int32) - 1,
-            0, self.lut.size - 1)
-        i = jnp.asarray(self.lut)[c]
-        i = i + (q >= xp_ext[i]).astype(jnp.int32)
-        i = i + (q >= xp_ext[i]).astype(jnp.int32)
-        i = jnp.clip(i, 1, n - 1)
-        x0 = xp[i - 1]
-        dx = xp[i] - x0
-        f0 = jnp.take_along_axis(
-            fp, jnp.broadcast_to(i - 1, fp.shape[:-1] + i.shape), axis=-1)
-        f1 = jnp.take_along_axis(
-            fp, jnp.broadcast_to(i, fp.shape[:-1] + i.shape), axis=-1)
+        qshape = jnp.shape(q)
+        qf = jnp.reshape(q, (-1,))
+        # segment index = #{j in [1, n-1): xp[j] <= q}, i.e. exactly
+        # clip(searchsorted(xp, q, 'right') - 1, 0, n - 2)
+        ge = (qf[:, None] >= xp[None, 1 : n - 1]).astype(jnp.int32)
+        idx = jnp.sum(ge, axis=-1)
+        onehot = (idx[:, None] == jnp.arange(n - 1)[None, :]).astype(q.dtype)
+        hi = jax.lax.Precision.HIGHEST
+        x0 = jnp.einsum("qj,j->q", onehot, xp[: n - 1], precision=hi)
+        x1 = jnp.einsum("qj,j->q", onehot, xp[1:], precision=hi)
+        f0 = jnp.einsum("qj,...j->...q", onehot, fp[..., : n - 1], precision=hi)
+        f1 = jnp.einsum("qj,...j->...q", onehot, fp[..., 1:], precision=hi)
         # same association as jnp.interp (f0 + (delta/dx)*df) so the result
         # is BITWISE equal, not just ulp-close (gated by the fuzz test)
-        out = f0 + ((q - x0) / dx) * (f1 - f0)
-        out = jnp.where(q <= xp[0], fp[..., :1], out)
-        out = jnp.where(q >= xp[-1], fp[..., -1:], out)
-        return out
+        out = f0 + ((qf - x0) / (x1 - x0)) * (f1 - f0)
+        out = jnp.where(qf <= xp[0], fp[..., :1], out)
+        out = jnp.where(qf >= xp[-1], fp[..., -1:], out)
+        return jnp.reshape(out, out.shape[:-1] + qshape)
 
 
 @dataclass(frozen=True)

@@ -40,12 +40,13 @@ def test_spline_eval_traced_points():
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-9, atol=1e-12)
 
 
-def test_linear_lut_fuzz_matches_jnp_interp():
-    """ADVICE r4: LinearLUT.interp's two-step index correction (floor cell
-    − 1, then two bounded advances) must reproduce ``jnp.interp`` EXACTLY —
-    including queries sitting on knots, ±1 ulp around every knot, and
-    outside the grid — on random strictly-increasing non-uniform grids."""
-    from eftpipe_tpu.ops.interp import LinearLUT
+def test_matmul_interp_fuzz_matches_jnp_interp():
+    """ADVICE r4: the fixed-grid interpolator must reproduce ``jnp.interp``
+    EXACTLY — including queries sitting on knots, ±1 ulp around every knot,
+    and outside the grid — on random strictly-increasing non-uniform grids
+    (the one-hot contraction form makes this an exactness property of 0/1
+    matmuls, see MatmulInterp's docstring)."""
+    from eftpipe_tpu.ops.interp import MatmulInterp as LinearLUT
 
     for seed in range(6):
         rng = np.random.default_rng(seed)
@@ -71,10 +72,10 @@ def test_linear_lut_fuzz_matches_jnp_interp():
                                       err_msg=f"seed {seed}")
 
 
-def test_linear_lut_batched_and_rejects_bad_grid():
+def test_matmul_interp_batched_and_rejects_bad_grid():
     import pytest
 
-    from eftpipe_tpu.ops.interp import LinearLUT
+    from eftpipe_tpu.ops.interp import MatmulInterp as LinearLUT
 
     xp = np.array([0.0, 0.1, 0.5, 1.0])
     lut = LinearLUT.build(xp)
