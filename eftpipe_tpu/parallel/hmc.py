@@ -70,7 +70,12 @@ class HMC:
 
     def __post_init__(self):
         def lp_and_grad(q):
-            return jax.value_and_grad(self.logp)(q)
+            # pin the value to the chain dtype: a posterior that accumulates
+            # its chi2 in f64 (e.g. f64 data constants under an x64 session)
+            # would otherwise promote accept probs/dual-averaging state and
+            # break the scan carries' dtype invariance
+            v, g = jax.value_and_grad(self.logp)(q)
+            return v.astype(q.dtype), g
 
         self._lpg = jax.vmap(lp_and_grad)
         self._sharding = None
@@ -193,14 +198,24 @@ class HMC:
     @partial(jax.jit, static_argnames=("self", "n_samples", "thin"))
     def run(self, key, state: HMCState, eps, inv_mass, n_samples: int,
             thin: int = 1):
+        # eps/inv_mass may arrive as f64 host arrays (checkpoint restore,
+        # Laplace seeding) while the posterior runs f32 — cast to the chain
+        # dtype or the kinetic terms promote the whole transition to f64
+        eps = jnp.asarray(eps, state.q.dtype)
+        inv_mass = jnp.asarray(inv_mass, state.q.dtype)
+
         def step(carry, k):
             st, _ = carry
             st, acc = self._transition(k, st, eps, inv_mass)
             return (st, acc), (st.q, st.logp, acc)
 
         keys = jax.random.split(key, n_samples)
+        # carry dtype must match accept_prob's (= logp's): under an x64
+        # session a default-dtype zeros() is f64 while an f32 posterior
+        # yields f32 probs — lax.scan rejects the mixed carry
+        acc0 = jnp.zeros(state.q.shape[0], state.logp.dtype)
         (state, _), (chain, logps, accs) = jax.lax.scan(
-            step, (state, jnp.zeros(state.q.shape[0])), keys
+            step, (state, acc0), keys
         )
         return chain[::thin], logps[::thin], jnp.mean(accs)
 
