@@ -105,11 +105,13 @@ def test_provider_inputs_shape_and_speed(provider):
 
 
 def test_provider_rejects_out_of_box(provider):
-    """Wild prior-volume proposals (the production priors span ω_cdm up to
-    0.7) are explicitly REJECTED — validity_logp = −inf, in_box False —
-    while the traced spectrum stays finite (internal clamping keeps the
-    rest of the graph NaN-free).  The emulator never extrapolates."""
-    params = dict(omega_b=0.02237, omega_cdm=0.65, h=0.99, ln10As=3.044,
+    """Proposals beyond the training box are explicitly REJECTED —
+    validity_logp = −inf, in_box False — while the traced spectrum stays
+    finite (internal clamping keeps the rest of the graph NaN-free).  The
+    emulator never extrapolates.  The r5 wide-box artifact covers the FULL
+    production priors (ω_cdm ≤ 0.7, h ≤ 1.0), so an out-of-box point now
+    has to sit beyond even those."""
+    params = dict(omega_b=0.02237, omega_cdm=0.75, h=1.05, ln10As=3.044,
                   ns=0.9649)
     assert not bool(provider.in_box(params))
     assert float(provider.validity_logp(params)) == -np.inf
