@@ -910,6 +910,20 @@ class Analysis:
         # at the scale of the largest so Σ stays finite and PD
         curv = np.maximum(-evals, jitter * np.max(np.abs(evals)))
         cov = (evecs / curv) @ evecs.T
+        # prior-flat (inert) directions have ~zero curvature, which the
+        # eigen-floor turns into absurd variances (σ ~ 1e3 on a 0.2-wide
+        # box) — but no posterior is wider than its prior support, so cap
+        # each direction's σ at the prior half-width.  The diag(s) congruence
+        # keeps Σ PD and preserves the constrained directions' correlations.
+        # Without the cap an HMC metric seeded from Σ proposes O(σ) moves
+        # that always exit the prior: dual averaging collapses the step size
+        # and the chains freeze at high acceptance.
+        lo, hi = self.space.bounds()
+        width = np.asarray(hi, np.float64) - np.asarray(lo, np.float64)
+        cap = np.where(np.isfinite(width), width / 2.0, np.inf)
+        sig = np.sqrt(np.diag(cov))
+        s = np.minimum(1.0, cap / np.maximum(sig, 1e-300))
+        cov = cov * np.outer(s, s)
         if cached:
             self._laplace_cov_cache = cov
         return cov
@@ -958,8 +972,9 @@ class Analysis:
         ~40-step stretch autocorrelation collapses to a few leapfrog
         trajectories and production-grade split-R̂ targets (the reference's
         Cobaya R−1 ≤ 0.0005) become reachable in short chains.  The warmup
-        mass matrix is seeded with the Laplace posterior diagonal
-        automatically when ``init="laplace"``.
+        mass matrix is seeded with the FULL Laplace posterior covariance
+        (a dense metric that whitens parameter correlations) automatically
+        when ``init="laplace"``.
 
         ``mesh`` (a ``jax.sharding.Mesh``) shards the walker/chain axis over
         devices — the TPU replacement for the reference's MPI
@@ -968,7 +983,11 @@ class Analysis:
 
         if sampler == "hmc" and init == "laplace" and \
                 "inv_mass0" not in driver_kwargs:
-            driver_kwargs["inv_mass0"] = np.diag(self.laplace_cov())
+            # DENSE metric: the full Laplace covariance whitens the posterior
+            # including its cross-correlations (the DR16 production block's
+            # bias/cosmology degeneracies give a diag-metric τ ≈ 7 at L=4;
+            # dense τ ≈ 1), see parallel/hmc.py:_mass_ops
+            driver_kwargs["inv_mass0"] = self.laplace_cov()
         driver = MCMCDriver(
             logp=self.logp, ndim=self.space.ndim, nwalkers=nwalkers,
             rhat_tol=rhat_tol, out=out, param_names=list(self.space.sampled),

@@ -88,8 +88,9 @@ def build_ap_tables(
     # tools/bench_stage_cost.py); GL-16 scales all of it by 16/200
     # (12382 → 13279 evals/s/chip vs GL-32 on the v5e flagship).  Exact
     # trapezoid parity is kept for f64 (the reference-gate dtype); the
-    # end-to-end f32 error stays bounded by the |Δlogp| < 0.02 bench/test
-    # budget (measured 0.0108, ~same as GL-32).
+    # end-to-end f32 error stays far inside the |Δlogp| < 0.02 bench/test
+    # budget (r5 4-seed max 0.0019 with the per-stage 'highest' default of
+    # ops/precision.py; GL-32 buys nothing once that is on).
     n_gl = int(os.environ.get("EFTPIPE_TPU_AP_GL", "16"))
     if n_gl > 0:
         x_gl, w_gl = np.polynomial.legendre.leggauss(n_gl)

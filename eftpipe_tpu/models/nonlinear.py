@@ -49,9 +49,11 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
     fold tensors once instead of once per tracer.  With ``cache_dir`` the
     two expensive fold tensors additionally persist across processes
     (uncompressed npz, hash-keyed like the window cache)."""
-    # 1e-5 spectral cut: still invisible under f32 rounding end-to-end
-    # (|dlogp| 0.0109 vs 0.0108 at 1e-8 on the v5e flagship, budget 0.02)
-    # while dropping Y-intermediate traffic another ~25% (15.0k -> 16.0k
+    # 1e-5 spectral cut: a later 4-seed attribution (r5) showed the cut is
+    # NOT what drives the end-to-end f32 logp error (1e-8 vs 1e-6 cuts all
+    # land within 5e-4 of the same |dlogp|; the error lives in the
+    # post-loop stages' bf16x3 matmuls, see ops/precision.py) while the
+    # 1e-5 cut drops Y-intermediate traffic ~25% (15.0k -> 16.0k
     # evals/s/chip; 1e-4 gains ~2% more but eats the test margins)
     lowrank_tol = float(os.environ.get("EFTPIPE_TPU_LOWRANK_TOL", "1e-5"))
     # the truncation tol is part of the identity of the cached factors: a

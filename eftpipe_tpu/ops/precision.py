@@ -26,11 +26,15 @@ from contextlib import nullcontext
 
 import jax
 
-# Measured attribution on the v5e flagship (4x16 seeded batch vs f64 CPU,
-# tools note in CLAUDE.md): the 0.018 'high' noise lives almost entirely in
-# the loop-engine contractions; upgrading only them restores ~2x budget
-# headroom at a small fraction of the global-'highest' cost.
-DEFAULT_HIGHEST = "nonlinear"
+# Measured attribution on the v5e flagship (4x16 seeded batch vs f64 CPU):
+# the 0.018 'high' noise is DISTRIBUTED over the post-loop stages — no
+# single-stage upgrade moves the max (nonlinear-only 0.0165, IRresum-only
+# 0.0185, APeffect-only 0.0166 vs base 0.0179) — but upgrading everything
+# EXCEPT the loop engine cuts it to 0.0019 (global 'highest' gives 0.0024
+# at 22% end-to-end cost because the loop contractions are ~93% of the
+# pipeline's FLOPs; this complement set doubles only ~46 of 656 MFLOP/eval,
+# invisible on an HBM-bound pipeline).
+DEFAULT_HIGHEST = "IRresum,APeffect,window,fiber,binning,like,emu"
 
 
 def highest_stages() -> set[str]:

@@ -61,10 +61,11 @@ class HMCSamplerAdapter:
     Exposes the driver's sampler contract — ``init(key, center)`` and
     ``run(key, walkers, nsteps, thin) -> (chain, logps, accept)`` — so the
     blocked checkpoint/R̂ machinery is sampler-agnostic.  Warmup (dual-
-    averaging step size + diagonal mass adaptation, seeded by ``inv_mass0``
-    when a Laplace posterior scale is known) runs once, lazily, before the
-    first block; the tuned ``(eps, inv_mass)`` ride the driver checkpoint so
-    a resumed run skips re-adaptation."""
+    averaging step size + mass adaptation — a ``(ndim,)`` ``inv_mass0`` seed
+    is refined diagonally, a dense ``(ndim, ndim)`` seed such as the full
+    Laplace covariance is kept fixed as a whitening metric) runs once,
+    lazily, before the first block; the tuned ``(eps, inv_mass)`` ride the
+    driver checkpoint so a resumed run skips re-adaptation."""
 
     logp: Callable
     nwalkers: int

@@ -110,7 +110,7 @@ def test_driver_hmc_converges_and_checkpoints(tmp_path):
     checkpoint/R̂ machinery; the adapted (eps, inv_mass) ride the checkpoint
     so a resume skips re-warmup (VERDICT r3 item 4)."""
     kw = dict(
-        logp=logp, ndim=3, nwalkers=16, rhat_tol=0.02, block=100,
+        logp=logp, ndim=3, nwalkers=16, rhat_tol=0.01, block=100,
         out=tmp_path / "h", sampler_kind="hmc", n_leapfrog=8,
         warmup_steps=100, inv_mass0=np.asarray(SIGMA) ** 2,
     )

@@ -109,6 +109,21 @@ def main() -> None:
     extra = {"build_s": round(build_s, 1), "ndim": theta0.size,
              "ndata": sum(lk.ndata for lk in an.likes.values()),
              "blocks": sorted(an.likes)}
+
+    if os.environ.get("BENCH_GRAD", "0") != "0":
+        # value+gradient throughput — the HMC/NUTS leapfrog cost unit
+        # (VERDICT r4 item 1: a measured TPU grad-eval number must back the
+        # production HMC story).  Same timing rules; the returned tuple's
+        # first element is what run_timed blocks on.
+        def vag(theta):
+            v, g = jax.value_and_grad(an.logp)(theta)
+            return v + jnp.sum(g) * 0.0  # one scalar, keeps both live
+
+        grad_batch = jax.jit(chunked_vmap(vag, chunk_size=min(chunk, batch)))
+        dt_g = run_timed(grad_batch, make_batches())
+        extra["grad_evals_per_sec_chip"] = round(batch * iters / dt_g / n_dev, 2)
+        extra["grad_us_per_eval"] = round(dt_g / (batch * iters / n_dev) * 1e6, 2)
+        extra["grad_cost_ratio"] = round(dt_g / dt, 2)
     if os.environ.get("BENCH_PROFILE", "0") != "0":  # still no D2H in here
         from eftpipe_tpu.utils.profiling import (
             likelihood_stage_prefixes, run_stage_profile,
