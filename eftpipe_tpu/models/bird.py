@@ -71,6 +71,62 @@ def _exponent_tables(triples, nchan, nstruct):
     return mask, expo
 
 
+def loop_cp_groups():
+    """(channel, f-power) regrouping of the 28+10 loop structures.
+
+    Each structure enters exactly one channel with one fixed f-power
+    (pybird.py:762-803), so the regrouping factorizes into a per-structure
+    diagonal f^p followed by a CONSTANT structure→(c,p)-group sum.  Folding
+    that constant sum (and the Legendre ℓ-weights) into the CF quadratic-form
+    matrices BEFORE eigendecomposition collapses their stacked rank ~7x
+    (models/nonlinear.py): the per-matrix spectral cut then acts on the
+    physically-summed channels, where individual structures' high-order tails
+    cancel.
+
+    Returns (keys, onehot, pexp, members):
+      keys    — sorted list of (channel, power) pairs (G = 22 for nl>=1)
+      onehot  — (nloop, G) 0/1 map group → channel
+      pexp    — (G,) float f-power of each group
+      members — {key: ([b22 indices], [b13 indices])}
+    """
+    members: dict[tuple, tuple[list, list]] = {}
+    for c, b, p in _R22:
+        members.setdefault((c, p), ([], []))[0].append(b)
+    for c, b, p in _R13:
+        members.setdefault((c, p), ([], []))[1].append(b)
+    keys = sorted(members)
+    nchan = 1 + max(c for c, _, _ in _R22)
+    onehot = np.zeros((nchan, len(keys)))
+    pexp = np.empty(len(keys))
+    for g, (c, p) in enumerate(keys):
+        onehot[c, g] = 1.0
+        pexp[g] = p
+    return keys, onehot, pexp, members
+
+
+def cf_group_map(nl: int, n22: int = 28, n13: int = 10) -> np.ndarray:
+    """Constant (G·nl, (n22+n13)·nl) premix matrix for the CF loop.
+
+    Row (g, ℓ) sums the structures of (channel, f-power) group ``g`` with
+    their Legendre ℓ-weights; columns follow the b-major/ℓ-minor stacking of
+    the folded CF quadratic-form matrices (models/nonlinear.py ``mcf_fold``,
+    P22 block first).  Applying this map to ``mcf_fold`` BEFORE the spectral
+    truncation is exact algebra — only the f^p diagonal and the
+    group→channel one-hot remain per evaluation (see :func:`assemble_bird`).
+    """
+    keys, _, _, members = loop_cp_groups()
+    lw = legendre_weights(nl)
+    gmap = np.zeros((len(keys) * nl, (n22 + n13) * nl))
+    for g, key in enumerate(keys):
+        b22s, b13s = members[key]
+        for l in range(nl):
+            for b in b22s:
+                gmap[g * nl + l, b * nl + l] = lw["l22"][l, b]
+            for b in b13s:
+                gmap[g * nl + l, (n22 + b) * nl + l] = lw["l13"][l, b]
+    return gmap
+
+
 def build_bird_tables(cfg: EFTConfig) -> dict:
     ltab = legendre_weights(cfg.nl)
     mask22, expo22 = _exponent_tables(_R22, cfg.nloop, cfg.n22)
@@ -80,7 +136,10 @@ def build_bird_tables(cfg: EFTConfig) -> dict:
     pstl[0, 1] = cfg.k**2
     if cfg.nl >= 2:
         pstl[1, 2] = cfg.k**2
+    _, cp_onehot, cp_pexp, _ = loop_cp_groups()
     return dict(
+        cp_onehot=cp_onehot,
+        cp_pexp=cp_pexp,
         s_kin_to_k=spline_matrix(cfg.kin, cfg.k),
         k=cfg.k,
         k2=cfg.k**2,
@@ -131,16 +190,25 @@ def assemble_bird(bt: dict, cfg: EFTConfig, nl_out: dict, plin_kin, f) -> BirdSt
     p13 = nl_out["p13_kernel"] * p11[..., None, :]
     p22l = jnp.einsum("...bx,lb->...lbx", nl_out["p22"], l22)
     p13l = jnp.einsum("...bx,lb->...lbx", p13, l13)
-    c22l = nl_out["c22"] * l22[:, :, None]
-    c13l = nl_out["c13"] * l13[:, :, None]
 
     w22, w13 = _loop_weights(bt, f, dtype)
     ploopl = jnp.einsum("...cb,...lbx->...lcx", w22, p22l) + jnp.einsum(
         "...cb,...lbx->...lcx", w13, p13l
     )
-    cloopl = jnp.einsum("...cb,...lbx->...lcx", w22, c22l) + jnp.einsum(
-        "...cb,...lbx->...lcx", w13, c13l
-    )
+    if "cloop_grp" in nl_out:
+        # (channel, f-power)-premixed CF loop (cf_group_map folded into the
+        # quadratic-form matrices before eigendecomposition,
+        # models/nonlinear.py): apply f^p and the group→channel one-hot
+        cgrp = nl_out["cloop_grp"]  # (..., G, nl, ns)
+        fpow = f[..., None] ** jnp.asarray(bt["cp_pexp"], dtype)
+        cloopl = jnp.einsum("cg,...g,...gls->...lcs",
+                            jnp.asarray(bt["cp_onehot"], dtype), fpow, cgrp)
+    else:
+        c22l = nl_out["c22"] * l22[:, :, None]
+        c13l = nl_out["c13"] * l13[:, :, None]
+        cloopl = jnp.einsum("...cb,...lbx->...lcx", w22, c22l) + jnp.einsum(
+            "...cb,...lbx->...lcx", w13, c13l
+        )
     # constant stochastic contribution removed from the loops (pybird.py:861-866)
     ploopl = ploopl - ploopl[..., :1]
 

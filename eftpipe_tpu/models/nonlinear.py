@@ -37,6 +37,47 @@ def _loop_fft(cfg: EFTConfig) -> HostFFTLog:
     return HostFFTLog(n=cfg.nfft_loop, xmin=1.5e-5, xmax=1000.0, bias=-1.6)
 
 
+def _fid_coef_mag(plan, kin_plan: np.ndarray) -> np.ndarray:
+    """Fiducial |c_n| profile for the whitened spectral cut (host numpy —
+    no device call, so Phase A can't trip the axon D2H latency mode).
+
+    The per-dof dynamic range of the quadratic-form input w is entirely the
+    FFTLog-coefficient decay (|s^{-ν_n-3}| is n-independent: Re ν is the
+    constant bias), set by the taper window and the smoothness of P_lin —
+    any smooth positive spectrum gives the same profile, so a BBKS shape
+    stands in for all cosmologies.  Whitening only reorders WHICH eigenpairs
+    the cut keeps (lowrank_factors); the kept contraction stays exact."""
+    q = kin_plan / 0.15
+    tk = (np.log1p(2.34 * q) / (2.34 * q)
+          * (1 + 3.89 * q + (16.1 * q) ** 2 + (5.46 * q) ** 3
+             + (6.71 * q) ** 4) ** -0.25)
+    f = kin_plan * tk ** 2
+    parts = []
+    if plan.ileft > 0:
+        if plan.extrap_lo:
+            slope = (np.log(f[1]) - np.log(f[0])) / plan.lo_dlog
+            parts.append(f[0] * np.exp(slope * plan.lo_logx) * plan.lo_fac)
+        else:
+            parts.append(np.zeros(plan.ileft))
+    parts.append(f @ plan.smid.T)
+    if plan.iright < plan.n:
+        if plan.extrap_hi:
+            slope = (np.log(f[-1]) - np.log(f[-2])) / plan.hi_dlog
+            parts.append(f[-1] * np.exp(slope * plan.hi_logx) * plan.hi_fac)
+        else:
+            parts.append(np.zeros(plan.n - plan.iright))
+    fx = np.concatenate(parts)
+    c = np.hypot(fx @ plan.gre, fx @ plan.gim)
+    return np.maximum(c, 1e-8 * c.max())
+
+
+def _whiten_dofs(cmag: np.ndarray, nc: int) -> np.ndarray:
+    """Map the (n+1,) coefficient profile to the 2·nc−1 trimmed real dofs of
+    herm_w (zr rows n ∈ [nc, 2nc), then zi rows n ∈ (nc, 2nc))."""
+    half = cmag[nc:-1]
+    return np.concatenate([half, half[1:]])
+
+
 _TABLE_MEMO: dict[tuple, dict] = {}
 
 
@@ -126,11 +167,14 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
     nc = n1 // 2
     n22, n13 = cfg.n22, cfg.n13
     m22_fold = mcf_fold = lowrank = None
+    _LR_KEYS = ("q22", "s22", "qcf", "scf", "qcfg", "scfg")
+    _LR_VERSION = 2  # v2: whitened cut + (channel, f-power) premix factors
     if fold_cache is not None and fold_cache.exists():
         with np.load(fold_cache) as z:
             m22_fold, mcf_fold = z["m22_fold"], z["mcf_fold"]
-            if "q22" in z:  # legacy caches predate the low-rank factors
-                lowrank = {k: z[k] for k in ("q22", "s22", "qcf", "scf")}
+            if ("lr_version" in z and int(z["lr_version"]) == _LR_VERSION
+                    and all(k in z for k in _LR_KEYS)):
+                lowrank = {k: z[k] for k in _LR_KEYS}
         if m22_fold.shape[0] != n22 or mcf_fold.shape[0] != (n22 + n13) * nl:
             m22_fold = mcf_fold = lowrank = None  # stale layout: recompute
     if mcf_fold is None:
@@ -156,12 +200,31 @@ def build_nonlinear_tables(cfg: EFTConfig, cache_dir=None) -> dict:
         # budget already gates end-to-end
         from ..ops.pallas_kernels import lowrank_factors
 
-        q22, s22 = lowrank_factors(m22_fold, tol=lowrank_tol)
-        qcf, scf = lowrank_factors(mcf_fold, tol=lowrank_tol)
-        lowrank = dict(q22=q22, s22=s22, qcf=qcf, scf=scf)
+        kin_pk = kin[kin_cut_index:] if plan_pk is plan_cut else kin
+        kin_cf = kin[kin_cut_index:] if plan_cf is plan_cut else kin
+        wh_pk = _whiten_dofs(_fid_coef_mag(plan_pk, kin_pk), nc)
+        wh_cf = _whiten_dofs(_fid_coef_mag(plan_cf, kin_cf), nc)
+        q22, s22 = lowrank_factors(m22_fold, tol=lowrank_tol, whiten=wh_pk)
+        qcf, scf = lowrank_factors(mcf_fold, tol=lowrank_tol, whiten=wh_cf)
+        # (channel, f-power) CF premix: folding the Legendre ℓ-weights and
+        # the structure→group sum (bird.cf_group_map) into the matrices
+        # BEFORE eigendecomposition lets the per-matrix spectral cut act on
+        # the physically-summed channels, where the individual structures'
+        # high-order tails cancel — the stacked rank drops ~7.6x (4864→640
+        # at the 1e-5 default on the production grids), shrinking the hot
+        # Y=Qw intermediate by the same factor.  Exact algebra before the
+        # cut; dispatched for f32 only (nonlinear_pscf).
+        from .bird import cf_group_map
+
+        gmap = cf_group_map(nl, n22, n13)
+        mcf_grp = (gmap @ mcf_fold.reshape(gmap.shape[1], -1)).reshape(
+            (gmap.shape[0],) + mcf_fold.shape[1:])
+        qcfg, scfg = lowrank_factors(mcf_grp, tol=lowrank_tol, whiten=wh_cf)
+        lowrank = dict(q22=q22, s22=s22, qcf=qcf, scf=scf,
+                       qcfg=qcfg, scfg=scfg)
         if fold_cache is not None:
             atomic_save_npz(fold_cache, m22_fold=m22_fold, mcf_fold=mcf_fold,
-                            **lowrank)
+                            lr_version=np.array(_LR_VERSION), **lowrank)
     # the trim is exact only because the tapered DFT zeroes c_{±N/2}
     for plan in {id(plan_pk): plan_pk, id(plan_cf): plan_cf}.values():
         assert not plan.gre[:, 0].any() and not plan.gre[:, -1].any()
@@ -273,23 +336,32 @@ def nonlinear_pscf(nt: dict, cfg: EFTConfig, plin_kin):
     w_cf = herm_w(coef_cf, spow_half, nc)
     n22b, n13b = nt["n22"], nt["n13"]
     nl = a11[0].shape[1]
-    c_all = qf(w_cf, "cf")  # (..., (28+10)·nl, ns)
-    ns_ = c_all.shape[-1]
-    c22 = jnp.swapaxes(
-        c_all[..., : n22b * nl, :].reshape(c_all.shape[:-2] + (n22b, nl, ns_)),
-        -3, -2,
-    )
-    c13 = jnp.swapaxes(
-        c_all[..., n22b * nl:, :].reshape(c_all.shape[:-2] + (n13b, nl, ns_)),
-        -3, -2,
-    )
-
-    return dict(
+    out = dict(
         p22=p22,
         p13_kernel=p13_kernel,
         c11=c11,
         cct=cct,
         cct_nnlo=cct_nnlo,
-        c22=c22,
-        c13=c13,
     )
+    if (use_lr and "qcfg" in lr
+            and os.environ.get("EFTPIPE_TPU_CF_PREMIX", "1") != "0"):
+        # (channel, f-power)-premixed CF contraction (see
+        # build_nonlinear_tables): ~7.6x lower stacked rank than the
+        # per-structure form; bird.assemble_bird applies f^p + the
+        # group→channel one-hot instead of the l22/l13 regroup einsums
+        cgrp = quad_form_lowrank(w_cf, lr["qcfg"], lr["scfg"])  # (..., G·nl, ns)
+        gnl = int(lr["scfg"].shape[0])
+        out["cloop_grp"] = cgrp.reshape(
+            cgrp.shape[:-2] + (gnl // nl, nl, cgrp.shape[-1]))
+        return out
+    c_all = qf(w_cf, "cf")  # (..., (28+10)·nl, ns)
+    ns_ = c_all.shape[-1]
+    out["c22"] = jnp.swapaxes(
+        c_all[..., : n22b * nl, :].reshape(c_all.shape[:-2] + (n22b, nl, ns_)),
+        -3, -2,
+    )
+    out["c13"] = jnp.swapaxes(
+        c_all[..., n22b * nl:, :].reshape(c_all.shape[:-2] + (n13b, nl, ns_)),
+        -3, -2,
+    )
+    return out

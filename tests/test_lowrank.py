@@ -103,6 +103,9 @@ def test_nonlinear_f32_lowrank_matches_f64_dense(monkeypatch):
     assert nt["lowrank"] is not None
     plin = smooth_positive(cfg.kin, seed=3)
 
+    # the per-structure (ungrouped) low-rank path is what this test gates;
+    # the shipping (channel, f-power)-premixed path has its own gates below
+    monkeypatch.setenv("EFTPIPE_TPU_CF_PREMIX", "0")
     with jax.default_matmul_precision("highest"):
         out64 = nonlinear_pscf(nt, cfg, jnp.asarray(plin, jnp.float64))
         out32 = nonlinear_pscf(nt, cfg, jnp.asarray(plin, jnp.float32))
@@ -156,3 +159,59 @@ def test_f64_path_is_exactly_dense(monkeypatch):
     poisoned = dict(nt, lowrank={k: 0.0 * v for k, v in nt["lowrank"].items()})
     out = nonlinear_pscf(poisoned, cfg, plin)
     np.testing.assert_array_equal(np.asarray(out["c22"]), np.asarray(ref["c22"]))
+
+
+def test_cf_premix_group_map_is_exact_algebra():
+    """cf_group_map folds the Legendre ℓ-weights + the structure→(channel,
+    f-power) group sum into the CF matrices BEFORE the spectral cut.  That
+    fold is exact linear algebra: contracting the premixed dense matrices
+    must equal premixing the dense per-structure outputs (f64, 1e-12)."""
+    from eftpipe_tpu.models.bird import cf_group_map
+    from eftpipe_tpu.models.config import EFTConfig
+    from eftpipe_tpu.models.nonlinear import build_nonlinear_tables
+
+    cfg = EFTConfig()
+    nt = build_nonlinear_tables(cfg)
+    gmap = cf_group_map(cfg.nl, cfg.n22, cfg.n13)
+    mcf = nt["mcf_fold"]
+    mcf_grp = (gmap @ mcf.reshape(gmap.shape[1], -1)).reshape(
+        (gmap.shape[0],) + mcf.shape[1:])
+    w = jnp.asarray(RNG.standard_normal((mcf.shape[-1], 7)))
+    dense = np.asarray(qf_real_xla(w, jnp.asarray(mcf)))
+    grp = np.asarray(qf_real_xla(w, jnp.asarray(mcf_grp)))
+    np.testing.assert_allclose(grp, gmap @ dense, rtol=0,
+                               atol=1e-12 * np.abs(grp).max())
+    # the premix is why the production contraction shrank: same spectral
+    # cut, ~4x fewer stacked eigenpairs than the per-structure factors
+    assert nt["lowrank"]["qcfg"].shape[0] <= nt["lowrank"]["qcf"].shape[0] // 2
+
+
+def test_cf_premix_cloopl_matches_f64_dense():
+    """End-to-end through assemble_bird: the shipping f32 premixed path must
+    track the exact f64 dense per-structure path within f32 rounding (same
+    2e-4-of-max envelope the ungrouped low-rank path is held to), and the
+    f^p/one-hot recombination must be exercised at a nonzero growth rate."""
+    from eftpipe_tpu.models.bird import assemble_bird, build_bird_tables
+    from eftpipe_tpu.models.config import EFTConfig
+    from eftpipe_tpu.models.nonlinear import build_nonlinear_tables, nonlinear_pscf
+    from test_fftlog import smooth_positive
+
+    cfg = EFTConfig()
+    nt = build_nonlinear_tables(cfg)
+    bt = build_bird_tables(cfg)
+    plin = smooth_positive(cfg.kin, seed=3)
+    f = 0.77
+
+    with jax.default_matmul_precision("highest"):
+        out64 = nonlinear_pscf(nt, cfg, jnp.asarray(plin, jnp.float64))
+        b64 = assemble_bird(bt, cfg, out64, jnp.asarray(plin, jnp.float64),
+                            jnp.asarray(f, jnp.float64))
+        out32 = nonlinear_pscf(nt, cfg, jnp.asarray(plin, jnp.float32))
+        assert "cloop_grp" in out32  # the premix is the shipping f32 path
+        b32 = assemble_bird(bt, cfg, out32, jnp.asarray(plin, jnp.float32),
+                            jnp.asarray(f, jnp.float32))
+
+    a = np.asarray(b32.cloopl, np.float64)
+    b = np.asarray(b64.cloopl)
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * np.abs(b).max(),
+                               err_msg="cloopl: premixed f32 vs exact f64")
